@@ -1,0 +1,12 @@
+"""Test env: force JAX onto CPU with 8 virtual devices so multi-chip sharding
+logic is exercised without TPU hardware (the driver dry-runs the real
+multi-chip path separately)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
