@@ -1,0 +1,205 @@
+"""RenderPlan executor: the device-centric replacement for the reference's
+ffmpeg process fan-out.
+
+Where the reference runs one ffmpeg per (frame × view) — re-decoding the
+whole video per view (SURVEY §3.1) — this executor decodes each frame once,
+moves it to the device once, and warps **all** views in one batched jitted
+program, streaming encodes through the async writer pool. Progress,
+cancellation, and resume semantics mirror the reference:
+
+* progress printed in ≥5%% steps (``gs360_360PerspCut.py:67-75``),
+* cooperative stop via an Event (SIGINT handler escalation,
+  ``gs360_360PerspCut.py:535-561``),
+* manifest resume = skip outputs that already exist, like Video2Frames'
+  overwrite guard (``gs360_Video2Frames.py:442-455``).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gs360x.core import color as colorlib
+from gs360x.io import image as imagelib
+from gs360x.io import video as videolib
+from gs360x.kernels import warp as warplib
+from gs360x.rig.spec import RenderPlan
+
+PROGRESS_INTERVAL = 5
+
+
+@dataclass
+class ExecutionReport:
+    ok: int = 0
+    failed: int = 0
+    skipped: int = 0
+    total: int = 0
+    seconds: float = 0.0
+    errors: List[str] = field(default_factory=list)
+
+    @property
+    def stopped(self) -> bool:
+        return self.ok + self.failed + self.skipped < self.total
+
+
+class ProgressPrinter:
+    """Throttled single-line progress, same cadence as the reference."""
+
+    def __init__(self, label: str = "Progress", stream=None):
+        self.label = label
+        self._stream = stream  # None -> current sys.stdout at write time
+        self._last = -1
+
+    @property
+    def stream(self):
+        return self._stream if self._stream is not None else sys.stdout
+
+    def update(self, completed: int, total: int) -> None:
+        if total <= 0:
+            return
+        pct = int(completed * 100 / total)
+        if self._last < 0 or pct >= 100 or (pct - self._last) >= PROGRESS_INTERVAL:
+            self.stream.write(f"{self.label}... {pct:3d}% ({completed}/{total})\r")
+            self.stream.flush()
+            self._last = pct
+
+    def finish(self) -> None:
+        if self._last >= 0:
+            self.stream.write("\n")
+            self.stream.flush()
+
+
+def _encode_batch(views_float: Dict[str, np.ndarray], bit_depth: int):
+    depth = 16 if bit_depth > 8 else 8
+    return {name: imagelib.from_float01(arr, depth)
+            for name, arr in views_float.items()}
+
+
+def run_plan(plan: RenderPlan, *,
+             backend: str = "xla",
+             overwrite: bool = True,
+             writer_workers: int = 8,
+             stop_event: Optional[threading.Event] = None,
+             progress: Optional[Callable[[int, int], None]] = None,
+             quiet: bool = False) -> ExecutionReport:
+    """Execute a RenderPlan (image-dir or video mode) on the default device."""
+    t0 = time.time()
+    stop_event = stop_event or threading.Event()
+    report = ExecutionReport(total=plan.total if not plan.video_mode else 0)
+    out_dir = plan.out_dir
+    out_dir.mkdir(parents=True, exist_ok=True)
+    printer = None if quiet else ProgressPrinter()
+
+    def tick(done: int, total: int) -> None:
+        if progress:
+            progress(done, total)
+        if printer:
+            printer.update(done, total)
+
+    jpeg_quality = 95 if plan.jpeg_quality_95 else None
+    interp = plan.interpolation
+
+    with imagelib.AsyncImageWriter(workers=writer_workers) as writer:
+        if plan.video_mode:
+            _run_video(plan, writer, report, stop_event, tick, backend,
+                       interp, jpeg_quality, overwrite)
+        else:
+            _run_images(plan, writer, report, stop_event, tick, backend,
+                        interp, jpeg_quality, overwrite)
+    if printer:
+        printer.finish()
+    report.seconds = time.time() - t0
+    return report
+
+
+def _run_images(plan, writer, report, stop_event, tick, backend, interp,
+                jpeg_quality, overwrite) -> None:
+    by_source: Dict[pathlib.Path, List] = {}
+    for job in plan.jobs:
+        by_source.setdefault(job.source, []).append(job)
+
+    done = 0
+    for source, jobs in by_source.items():
+        if stop_event.is_set():
+            return
+        pending = []
+        for job in jobs:
+            out_path = plan.out_dir / job.output_name
+            if not overwrite and out_path.exists():
+                report.skipped += 1
+                done += 1
+            else:
+                pending.append(job)
+        if not pending:
+            tick(done, report.total)
+            continue
+        try:
+            src = imagelib.to_float01(imagelib.read_image(source))
+        except Exception as exc:
+            report.failed += len(pending)
+            report.errors.append(f"{source.name}: {exc}")
+            done += len(pending)
+            tick(done, report.total)
+            continue
+        src_dev = jnp.asarray(src)
+        outs = warplib.warp_plan_views(
+            src_dev, [j.view for j in pending], interp=interp, backend=backend)
+        for job, out in zip(pending, outs):
+            arr = np.asarray(jax.device_get(out))
+            img = imagelib.from_float01(arr, 16 if plan.bit_depth > 8 else 8)
+            writer.submit(plan.out_dir / job.output_name, img,
+                          jpeg_quality=jpeg_quality)
+            report.ok += 1
+            done += 1
+            tick(done, report.total)
+
+
+def _run_video(plan, writer, report, stop_event, tick, backend, interp,
+               jpeg_quality, overwrite) -> None:
+    source = plan.jobs[0].source
+    views = plan.unique_views()
+    name_patterns = [plan.jobs[i].output_name for i in range(len(views))]
+    info = videolib.probe_video(source)
+    est_frames = None
+    if info.n_frames and info.fps and plan.fps:
+        span = info.n_frames / info.fps
+        if plan.start_time or plan.end_time:
+            t0 = plan.start_time or 0.0
+            t1 = min(plan.end_time, span) if plan.end_time else span
+            span = max(0.0, t1 - t0)
+        est_frames = int(span * plan.fps) + 1
+    total_est = (est_frames or 0) * len(views)
+    report.total = total_est
+
+    frame_iter = videolib.iter_frames(source, fps=plan.fps, start=plan.start_time,
+                                      end=plan.end_time)
+    done = 0
+    for idx, _t, rgb in frame_iter:
+        if stop_event.is_set():
+            return
+        src = jnp.asarray(imagelib.to_float01(rgb))
+        # video color chain (Rec709 -> SMPTE170M [+ sRGB trc]) before warping
+        src = colorlib.video_color_move(src, keep_rec709=plan.keep_rec709)
+        outs = warplib.warp_plan_views(src, views, interp=interp, backend=backend)
+        for pattern, out in zip(name_patterns, outs):
+            name = pattern.replace("%07d", f"{idx:07d}")
+            out_path = plan.out_dir / name
+            if not overwrite and out_path.exists():
+                report.skipped += 1
+            else:
+                arr = np.asarray(jax.device_get(out))
+                img = imagelib.from_float01(arr, 16 if plan.bit_depth > 8 else 8)
+                writer.submit(out_path, img, jpeg_quality=jpeg_quality)
+                report.ok += 1
+            done += 1
+            if total_est:
+                tick(done, total_est)
+    report.total = done
