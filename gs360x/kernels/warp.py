@@ -78,10 +78,29 @@ def view_rotation(yaw_deg, pitch_deg, roll_deg):
     """Traced camera→world rotation in the warp frame (y down, z forward).
 
     Same convention as :func:`gs360x.core.pose.view_rotation_cv`: positive
-    yaw pans right, positive pitch looks up.
+    yaw pans right, positive pitch looks up. Composed at HIGHEST matmul
+    precision — JAX's default truncates f32 matmuls to bf16 passes, which
+    costs ~1e-3 in the rotation and visibly (0.5+ px) shifts warp coords.
     """
     d = jnp.pi / 180.0
-    return _rot_y(yaw_deg * d) @ _rot_x(pitch_deg * d) @ _rot_z(roll_deg * d)
+    hi = jax.lax.Precision.HIGHEST
+    ryx = jnp.matmul(_rot_y(yaw_deg * d), _rot_x(pitch_deg * d), precision=hi)
+    return jnp.matmul(ryx, _rot_z(roll_deg * d), precision=hi)
+
+
+def rotate_rays(rays: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Apply a 3x3 rotation to a (..., 3) ray field elementwise.
+
+    Written as broadcast FMAs rather than a matmul: a (H*W, 3)x(3, 3)
+    contraction is a degenerate MXU shape AND silently runs at bf16
+    precision by default — elementwise keeps full f32 and fuses.
+    """
+    x, y, z = rays[..., 0], rays[..., 1], rays[..., 2]
+    return jnp.stack([
+        r[0, 0] * x + r[0, 1] * y + r[0, 2] * z,
+        r[1, 0] * x + r[1, 1] * y + r[1, 2] * z,
+        r[2, 0] * x + r[2, 1] * y + r[2, 2] * z,
+    ], axis=-1)
 
 
 # --------------------------------------------------------------------------
@@ -245,7 +264,7 @@ def view_uv_from_equirect(width: int, height: int, hfov_deg: float,
         raise ValueError(f"unknown projection: {projection!r}")
     r = view_rotation(jnp.asarray(yaw_deg, dtype), jnp.asarray(pitch_deg, dtype),
                       jnp.asarray(roll_deg, dtype))
-    world = rays @ r.T
+    world = rotate_rays(rays, r)
     u, v = cam.equirect_uv(world, src_w, src_h)
     return u, v, valid
 
@@ -253,29 +272,10 @@ def view_uv_from_equirect(width: int, height: int, hfov_deg: float,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "hfov_deg", "vfov_deg", "projection",
-                     "interp", "backend"))
-def warp_equirect_to_views(src: jnp.ndarray,
-                           yaws: jnp.ndarray, pitches: jnp.ndarray,
-                           rolls: jnp.ndarray, *,
-                           width: int, height: int,
-                           hfov_deg: float, vfov_deg: float,
-                           projection: str = "perspective",
-                           interp: str = "bicubic",
-                           backend: str = "xla") -> jnp.ndarray:
-    """Cut V views out of an equirect image in one fused program.
-
-    Args:
-      src: (H, W, C) float source panorama.
-      yaws/pitches/rolls: (V,) per-view angles in degrees.
-    Returns: (V, height, width, C) float.
-    """
-    if backend == "pallas":
-        from gs360x.kernels import warp_pallas
-        return warp_pallas.warp_equirect_to_views_pallas(
-            src, yaws, pitches, rolls, width=width, height=height,
-            hfov_deg=hfov_deg, vfov_deg=vfov_deg, projection=projection,
-            interp=interp)
-
+                     "interp"))
+def _warp_equirect_to_views_xla(src, yaws, pitches, rolls, *,
+                                width, height, hfov_deg, vfov_deg,
+                                projection, interp):
     src_h, src_w = src.shape[0], src.shape[1]
 
     def one_view(yaw, pitch, roll):
@@ -285,6 +285,43 @@ def warp_equirect_to_views(src: jnp.ndarray,
         return remap(src, u, v, interp=interp, wrap_x=True, valid=valid)
 
     return jax.vmap(one_view)(yaws, pitches, rolls)
+
+
+def warp_equirect_to_views(src: jnp.ndarray,
+                           yaws, pitches, rolls, *,
+                           width: int, height: int,
+                           hfov_deg: float, vfov_deg: float,
+                           projection: str = "perspective",
+                           interp: str = "bicubic",
+                           backend: str = "xla") -> jnp.ndarray:
+    """Cut V views out of an equirect image in one fused device program.
+
+    Args:
+      src: (H, W, C) float source panorama.
+      yaws/pitches/rolls: (V,) per-view angles in degrees (host values when
+        backend is 'pallas'/'auto' — the tile planner needs them).
+      backend: 'xla' (general), 'pallas' (fast path, raises on unsupported
+        geometry), or 'auto' (pallas with transparent XLA fallback).
+    Returns: (V, height, width, C) float.
+    """
+    if backend in ("pallas", "auto"):
+        from gs360x.kernels import warp_pallas
+        try:
+            # off-TPU the Mosaic kernel runs in interpret mode (tests, CPU
+            # dev boxes); on TPU it compiles natively
+            interpret = jax.default_backend() != "tpu"
+            return warp_pallas.warp_equirect_to_views_pallas(
+                src, yaws, pitches, rolls, width=width, height=height,
+                hfov_deg=hfov_deg, vfov_deg=vfov_deg, projection=projection,
+                interp=interp, interpret=interpret)
+        except warp_pallas.PallasFallback:
+            if backend == "pallas":
+                raise
+    return _warp_equirect_to_views_xla(
+        src, jnp.asarray(yaws, jnp.float32), jnp.asarray(pitches, jnp.float32),
+        jnp.asarray(rolls, jnp.float32), width=width, height=height,
+        hfov_deg=hfov_deg, vfov_deg=vfov_deg, projection=projection,
+        interp=interp)
 
 
 def warp_plan_views(src: jnp.ndarray, views: Sequence[ViewSpec], *,
@@ -300,11 +337,13 @@ def warp_plan_views(src: jnp.ndarray, views: Sequence[ViewSpec], *,
                round(view.hfov_deg, 6), round(view.vfov_deg, 6))
         groups.setdefault(key, []).append(i)
 
+    import numpy as _np
+
     results: list = [None] * len(views)
     for (projection, w, h, hfov, vfov), idxs in groups.items():
-        yaws = jnp.array([views[i].yaw_deg for i in idxs], jnp.float32)
-        pitches = jnp.array([views[i].pitch_deg for i in idxs], jnp.float32)
-        rolls = jnp.array([views[i].roll_deg for i in idxs], jnp.float32)
+        yaws = _np.array([views[i].yaw_deg for i in idxs], _np.float32)
+        pitches = _np.array([views[i].pitch_deg for i in idxs], _np.float32)
+        rolls = _np.array([views[i].roll_deg for i in idxs], _np.float32)
         out = warp_equirect_to_views(
             src, yaws, pitches, rolls, width=w, height=h, hfov_deg=hfov,
             vfov_deg=vfov, projection=projection, interp=interp,

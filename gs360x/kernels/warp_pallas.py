@@ -1,0 +1,468 @@
+"""Fused Pallas TPU warp kernel — the fast path for equirect → view cuts.
+
+Why this exists: XLA's general gather on TPU runs at ~44M indices/s, capping
+the XLA warp backend at single-digit 8K→1080p views/sec, and XLA's
+HWC→planar transpose of an 8K frame is similarly unusable. This kernel
+avoids both: it consumes the interleaved HWC frame directly and never
+issues a general gather.
+
+Per output tile (8 × 128 pixels):
+
+1. **Window DMA** — a double-buffered ``make_async_copy`` pulls the source
+   window ``(R, 3·WIN_COLS)`` (rows × interleaved-RGB lanes) straight out
+   of the HWC frame in HBM. Offsets are recomputed in-kernel from the view
+   geometry (closed-form ray math — no per-tile scalar tables).
+2. **De-interleave** — RGB→planar inside VMEM using lane shuffles with
+   *compile-time-constant* indices (``tpu.dynamic_gather`` along lanes,
+   three 128-lane blocks per output block).
+3. **Horizontal resample** — per output row, 4 Lagrange taps fetched with
+   per-element lane shuffles over the window's three 128-lane blocks.
+4. **Vertical resample** — single-vreg sublane gathers
+   (``take_along_axis(..., axis=0)`` on (8, 128)) composed hierarchically
+   over R/8 candidate vregs.
+
+All views of a frame run in ONE ``pallas_call`` (grid = total tiles);
+output is planar ``(V, 3, H, W)`` blocks transposed to HWC by the caller
+(small, cheap direction).
+
+Exactness: identical sampling math to :mod:`gs360x.kernels.warp` (v360
+conventions, Lagrange bicubic): every tap reads ``src[y0+m, x0+k]`` at the
+pixel's own fractional coordinates — no separable approximation; agreement
+with the XLA backend is ~1e-6. ``atan2``/``asin`` are Cephes-style minimax
+polynomials (Mosaic has no transcendental primitives), ~1e-7 rad.
+
+A host-side planner (numpy twin of the ray math) validates each view
+against the static window budget (horizontal span, vertical span per row
+class). Views that exceed it — extreme pitch (poles in view), horizontal
+slope ≥ ~1.9 source px per output px — raise :class:`PallasFallback` and
+the caller transparently uses the XLA backend.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_ROWS = 8           # output rows per tile (TPU block-shape minimum)
+TILE_COLS = 128         # output cols per tile (one lane vreg)
+WIN_COLS = 384          # window cols: three 128-lane blocks, origin 128-aligned
+N_BLOCKS = WIN_COLS // TILE_COLS
+ROW_CLASSES = (16, 48, 96)  # window-row budgets R (8 | R); worst view wins
+H_MARGIN = 3            # bicubic taps need x0-1 .. x0+2 (+1 slack)
+V_MARGIN = 3
+
+
+# --------------------------------------------------------------------------
+# Host-side planner: numpy twin of the coordinate math (budget validation)
+# --------------------------------------------------------------------------
+
+
+def _rot_matrix(yaw_deg: float, pitch_deg: float, roll_deg: float) -> np.ndarray:
+    cy, sy = math.cos(math.radians(yaw_deg)), math.sin(math.radians(yaw_deg))
+    cp, sp = math.cos(math.radians(pitch_deg)), math.sin(math.radians(pitch_deg))
+    cr, sr = math.cos(math.radians(roll_deg)), math.sin(math.radians(roll_deg))
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
+    return ry @ rx @ rz
+
+
+def _np_view_coords(width, height, hfov_deg, vfov_deg, rot, src_w, src_h):
+    xs = (2.0 * np.arange(width) + 1.0) / width - 1.0
+    ys = (2.0 * np.arange(height) + 1.0) / height - 1.0
+    nx, ny = np.meshgrid(xs * math.tan(math.radians(hfov_deg) / 2.0),
+                         ys * math.tan(math.radians(vfov_deg) / 2.0))
+    d = np.stack([nx, ny, np.ones_like(nx)], axis=-1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    world = d @ rot.T
+    phi = np.arctan2(world[..., 0], world[..., 2])
+    theta = np.arcsin(np.clip(world[..., 1], -1.0, 1.0))
+    u = (phi / math.pi + 1.0) * (src_w / 2.0) - 0.5
+    v = (theta / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
+    return u, v
+
+
+@dataclass
+class ViewBudget:
+    win_rows: int
+    rot: np.ndarray
+
+
+def plan_view(width: int, height: int, hfov_deg: float, vfov_deg: float,
+              yaw_deg: float, pitch_deg: float, roll_deg: float,
+              src_w: int, src_h: int) -> Optional[ViewBudget]:
+    """Validate a view against the kernel's static window budget."""
+    if width % TILE_COLS or height % TILE_ROWS:
+        return None
+    rot = _rot_matrix(yaw_deg, pitch_deg, roll_deg)
+    u, v = _np_view_coords(width, height, hfov_deg, vfov_deg, rot,
+                           src_w, src_h)
+    n_ty, n_tx = height // TILE_ROWS, width // TILE_COLS
+    uc = u.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
+    vc = v.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
+    # tile-center-relative unwrap, mirroring the kernel's seam handling
+    u_center = uc[:, TILE_ROWS // 2, :, TILE_COLS // 2][:, None, :, None]
+    urel = np.mod(uc - u_center + src_w / 2.0, src_w) - src_w / 2.0
+    h_span = urel.max(axis=(1, 3)) - urel.min(axis=(1, 3)) + 2 * H_MARGIN
+    v_span = vc.max(axis=(1, 3)) - vc.min(axis=(1, 3)) + 2 * V_MARGIN
+    if (h_span > WIN_COLS - 131).any():  # 127 col-alignment + 4 slack
+        return None
+    for r in ROW_CLASSES:
+        if float(v_span.max()) <= r - 9:  # 7 rows row-alignment slack
+            return ViewBudget(win_rows=r, rot=rot.astype(np.float32))
+    return None
+
+
+# --------------------------------------------------------------------------
+# In-kernel math helpers (Mosaic-lowerable)
+# --------------------------------------------------------------------------
+
+
+def _atan_poly(x):
+    """atanf on [0, inf): Cephes-style 2-step range reduction + odd minimax
+    polynomial (~1e-7 rad). Mosaic has no atan primitive."""
+    big = x > 2.414213562373095
+    mid = x > 0.4142135623730950
+    xr = jnp.where(big, -1.0 / jnp.maximum(x, 1e-30),
+                   jnp.where(mid, (x - 1.0) / (x + 1.0), x))
+    base = jnp.where(big, math.pi / 2.0, jnp.where(mid, math.pi / 4.0, 0.0))
+    z = xr * xr
+    p = (((8.05374449538e-2 * z - 1.38776856032e-1) * z
+          + 1.99777106478e-1) * z - 3.33329491539e-1) * z
+    return base + xr + xr * p
+
+
+def _atan2(y, x):
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    a = _atan_poly(ay / jnp.maximum(ax, 1e-30))
+    r = jnp.where(x >= 0.0, a, math.pi - a)
+    return jnp.where(y >= 0.0, r, -r)
+
+
+def _asin(y):
+    return _atan2(y, jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0)))
+
+
+def _lagrange_weights(t):
+    tt = t * t
+    ttt = tt * t
+    return (-t / 3.0 + tt / 2.0 - ttt / 6.0,
+            1.0 - t / 2.0 - tt + ttt / 2.0,
+            t + tt / 2.0 - ttt / 2.0,
+            -t / 6.0 + ttt / 6.0)
+
+
+def _linear_weights(t):
+    return (1.0 - t, t)
+
+
+def _blocked_lane_gather(blocks, xi_b):
+    """Gather ``win[:, xi]`` where xi spans N_BLOCKS 128-lane blocks.
+
+    ``blocks``: list of (N, 128) arrays; ``xi_b``: (N, 128) int32 global
+    column indices in [0, WIN_COLS). Per-element block select.
+    """
+    g = None
+    for b, blk in enumerate(blocks):
+        gb = jnp.take_along_axis(
+            blk, jnp.clip(xi_b - b * TILE_COLS, 0, TILE_COLS - 1), axis=1)
+        gb = jnp.where((xi_b // TILE_COLS) == b, gb, 0.0)
+        g = gb if g is None else g + gb
+    return g
+
+
+# --------------------------------------------------------------------------
+# Kernel
+# --------------------------------------------------------------------------
+
+
+def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
+                 src_hbm,              # (H, (W+WIN_COLS)*3) f32 in ANY/HBM
+                 out_ref,              # (1, 3, TILE_ROWS, TILE_COLS) VMEM
+                 win_raw,              # scratch (2, R, 3*WIN_COLS) f32
+                 planar,               # scratch (3, R, WIN_COLS) f32
+                 sems,                 # DMA semaphores (2,)
+                 *, interp: str, win_rows: int, src_w: int, src_h: int,
+                 out_w: int, out_h: int, n_tiles_x: int, tiles_per_view: int):
+    R = win_rows
+    tile = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    def tile_geometry(t):
+        """Closed-form (u, v) coords + window origin (rm, cm) for tile t."""
+        view_id = t // tiles_per_view
+        within = t - view_id * tiles_per_view
+        ty = within // n_tiles_x
+        tx = within - ty * n_tiles_x
+        r00 = view_f32_ref[view_id, 0]
+        r01 = view_f32_ref[view_id, 1]
+        r02 = view_f32_ref[view_id, 2]
+        r10 = view_f32_ref[view_id, 3]
+        r11 = view_f32_ref[view_id, 4]
+        r12 = view_f32_ref[view_id, 5]
+        r20 = view_f32_ref[view_id, 6]
+        r21 = view_f32_ref[view_id, 7]
+        r22 = view_f32_ref[view_id, 8]
+        tanh = view_f32_ref[view_id, 9]
+        tanv = view_f32_ref[view_id, 10]
+
+        jj = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_ROWS, TILE_COLS), 1).astype(jnp.float32)
+        ii = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_ROWS, TILE_COLS), 0).astype(jnp.float32)
+        px = (tx * TILE_COLS).astype(jnp.float32) + jj
+        py = (ty * TILE_ROWS).astype(jnp.float32) + ii
+        nx = ((2.0 * px + 1.0) / out_w - 1.0) * tanh
+        ny = ((2.0 * py + 1.0) / out_h - 1.0) * tanv
+        inv_n = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
+        dx = nx * inv_n
+        dy = ny * inv_n
+        dz = inv_n
+        wx = r00 * dx + r01 * dy + r02 * dz
+        wy = r10 * dx + r11 * dy + r12 * dz
+        wz = r20 * dx + r21 * dy + r22 * dz
+        phi = _atan2(wx, wz)
+        theta = _asin(jnp.clip(wy, -1.0, 1.0))
+        u = (phi / math.pi + 1.0) * (src_w / 2.0) - 0.5
+        v = (theta / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
+
+        # seam-safe window origin: unwrap u around the tile-center pixel
+        u_ctr = u[TILE_ROWS // 2, TILE_COLS // 2]
+        urel0 = jnp.mod(u - u_ctr + 0.5 * src_w, float(src_w)) - 0.5 * src_w
+        u0 = u_ctr + jnp.min(urel0)
+        cm = jnp.mod(jnp.floor(u0).astype(jnp.int32) - H_MARGIN, src_w)
+        cm = (cm // 128) * 128          # DMA lane alignment
+        vcl = jnp.clip(v, 0.0, src_h - 1.0)
+        rm = jnp.clip(jnp.floor(jnp.min(vcl)).astype(jnp.int32) - V_MARGIN,
+                      0, src_h - R)
+        rm = (rm // 8) * 8              # DMA sublane alignment
+        urelw = jnp.mod(u - cm.astype(jnp.float32), float(src_w))
+        vrelw = jnp.clip(vcl - rm.astype(jnp.float32), 0.0, R - 1.0)
+        return rm, cm, urelw, vrelw
+
+    def start_dma(slot, rm, cm):
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(rm, R), pl.ds(cm * 3, 3 * WIN_COLS)],
+            win_raw.at[slot], sems.at[slot])
+
+    rm_t, cm_t, urel, vrel = tile_geometry(tile)
+
+    @pl.when(tile == 0)
+    def _():
+        start_dma(0, rm_t, cm_t).start()
+
+    @pl.when(tile + 1 < n_tiles)
+    def _():
+        rm_n, cm_n, _, _ = tile_geometry(tile + 1)
+        start_dma((tile + 1) % 2, rm_n, cm_n).start()
+
+    slot = tile % 2
+    start_dma(slot, rm_t, cm_t).wait()
+
+    # ---- de-interleave RGB lanes -> planar scratch (static shuffles) ----
+    raw = win_raw[slot]                              # (R, 3*WIN_COLS)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, TILE_COLS), 1)
+    raw_blocks = [raw[:, b * TILE_COLS:(b + 1) * TILE_COLS]
+                  for b in range(3 * N_BLOCKS)]
+    for c in range(3):
+        for ob in range(N_BLOCKS):
+            # planar[c, :, ob*128 + l] = raw[:, (ob*128 + l)*3 + c]
+            src_lane = (ob * TILE_COLS + lane) * 3 + c
+            blk0 = ob * 3                            # lanes span 3 raw blocks
+            g = None
+            for b in range(blk0, blk0 + 3):
+                gb = jnp.take_along_axis(
+                    raw_blocks[b],
+                    jnp.clip(src_lane - b * TILE_COLS, 0, TILE_COLS - 1),
+                    axis=1)
+                gb = jnp.where((src_lane // TILE_COLS) == b, gb, 0.0)
+                g = gb if g is None else g + gb
+            planar[c, :, ob * TILE_COLS:(ob + 1) * TILE_COLS] = g
+
+    x0f = jnp.floor(urel)
+    y0f = jnp.floor(vrel)
+    fx = urel - x0f
+    fy = vrel - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    if interp == "bicubic":
+        hw = _lagrange_weights(fx)
+        vw = _lagrange_weights(fy)
+        koff = -1
+    else:
+        hw = _linear_weights(fx)
+        vw = _linear_weights(fy)
+        koff = 0
+    n_taps = len(hw)
+
+    win_blocks = [planar[:, :, b * TILE_COLS:(b + 1) * TILE_COLS]
+                  .reshape(3 * R, TILE_COLS) for b in range(N_BLOCKS)]
+
+    rows = [[None] * TILE_ROWS for _ in range(3)]
+    for i in range(TILE_ROWS):
+        x0_i = x0[i:i + 1, :]
+        y0_i = y0[i:i + 1, :]
+        hw_i = [w[i:i + 1, :] for w in hw]
+        vw_i = [w[i:i + 1, :] for w in vw]
+        # horizontal: Ih (3R, 128) = sum_k hw_k * win[:, x0+k]
+        ih = None
+        for k in range(n_taps):
+            xi = jnp.clip(x0_i + (k + koff), 0, WIN_COLS - 1)
+            xi_b = jnp.broadcast_to(xi, (3 * R, TILE_COLS))
+            g = _blocked_lane_gather(win_blocks, xi_b)
+            contrib = g * jnp.broadcast_to(hw_i[k], (3 * R, TILE_COLS))
+            ih = contrib if ih is None else ih + contrib
+        # vertical: per channel, hierarchical single-vreg sublane gathers
+        for c in range(3):
+            ch = ih[c * R:(c + 1) * R, :]
+            row_val = None
+            for m in range(n_taps):
+                ym = jnp.clip(y0_i + (m + koff), 0, R - 1)
+                ym8 = jnp.broadcast_to(ym, (8, TILE_COLS))
+                tap_val = None
+                for t in range(R // 8):
+                    blk = ch[t * 8:(t + 1) * 8, :]
+                    g = jnp.take_along_axis(
+                        blk, jnp.clip(ym8 - t * 8, 0, 7), axis=0)[0:1, :]
+                    val = jnp.where((ym // 8) == t, g, 0.0)
+                    tap_val = val if tap_val is None else tap_val + val
+                term = tap_val * vw_i[m]
+                row_val = term if row_val is None else row_val + term
+            rows[c][i] = row_val
+    for c in range(3):
+        out_ref[0, c, :, :] = jnp.concatenate(rows[c], axis=0)
+
+
+# --------------------------------------------------------------------------
+# Public entry
+# --------------------------------------------------------------------------
+
+
+class PallasFallback(Exception):
+    """Raised when a view's geometry exceeds the kernel's static budget."""
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "src_w", "src_h", "interp",
+                     "win_rows", "n_views", "interpret"))
+def _warp_call(src_rows, view_f32, *, width, height, src_w, src_h,
+               interp, win_rows, n_views, interpret=False):
+    n_tiles_x = width // TILE_COLS
+    tiles_per_view = (height // TILE_ROWS) * n_tiles_x
+    n_tiles = tiles_per_view * n_views
+
+    kernel = functools.partial(
+        _warp_kernel, interp=interp, win_rows=win_rows, src_w=src_w,
+        src_h=src_h, out_w=width, out_h=height, n_tiles_x=n_tiles_x,
+        tiles_per_view=tiles_per_view)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_views, 3, height, width),
+                                       jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # view_f32
+            pl.BlockSpec(memory_space=pl.ANY),       # src stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, TILE_ROWS, TILE_COLS),
+            lambda t: (t // tiles_per_view,
+                       0,
+                       (t % tiles_per_view) // n_tiles_x,
+                       (t % tiles_per_view) % n_tiles_x),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, win_rows, 3 * WIN_COLS), jnp.float32),
+            pltpu.VMEM((3, win_rows, WIN_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(view_f32, src_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _prepare_source(src, interpret=False):
+    """HWC frame -> seam-padded row-major (H, (W+WIN_COLS)*3) f32.
+
+    Concatenation along W keeps large contiguous rows (cheap copy); the
+    HWC->planar conversion happens inside the kernel via lane shuffles,
+    because an XLA (H,W,3)->(3,H,W) transpose of an 8K frame is pathologic
+    on TPU.
+    """
+    src = src.astype(jnp.float32)
+    padded = jnp.concatenate([src, src[:, :WIN_COLS, :]], axis=1)
+    h, wp, _ = padded.shape
+    return padded.reshape(h, wp * 3)
+
+
+def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
+                                  width: int, height: int,
+                                  hfov_deg: float, vfov_deg: float,
+                                  projection: str = "perspective",
+                                  interp: str = "bicubic",
+                                  interpret: bool = False,
+                                  planar: bool = False) -> jnp.ndarray:
+    """Pallas fast path. Raises :class:`PallasFallback` when unsupported.
+
+    Args mirror :func:`gs360x.kernels.warp.warp_equirect_to_views`; angles
+    must be concrete (host) values — they feed the budget planner.
+    With ``planar=True`` returns (V, 3, H, W) and skips the device-side
+    planar→HWC transpose (XLA transposes with minor-dim 3 are slow on TPU;
+    encoders can interleave on host for the cost of a memcpy).
+    """
+    if projection != "perspective":
+        raise PallasFallback(f"projection {projection!r} not in pallas path")
+    if interp not in ("bicubic", "bilinear"):
+        raise PallasFallback(f"interp {interp!r} not in pallas path")
+    yaws = np.asarray(yaws, np.float64).reshape(-1)
+    pitches = np.asarray(pitches, np.float64).reshape(-1)
+    rolls = np.asarray(rolls, np.float64).reshape(-1)
+    src_h, src_w = int(src.shape[0]), int(src.shape[1])
+
+    pad_w = (-width) % TILE_COLS
+    pad_h = (-height) % TILE_ROWS
+    out_w, out_h = width + pad_w, height + pad_h
+
+    budgets: List[ViewBudget] = []
+    for yv, pv, rv in zip(yaws, pitches, rolls):
+        b = plan_view(out_w, out_h, hfov_deg, vfov_deg, float(yv), float(pv),
+                      float(rv), src_w, src_h)
+        if b is None:
+            raise PallasFallback(
+                f"view yaw={yv} pitch={pv} exceeds window budget")
+        budgets.append(b)
+    win_rows = max(b.win_rows for b in budgets)
+
+    n_views = len(budgets)
+    view_f32 = np.zeros((max(n_views, 1), 16), np.float32)
+    for vi, b in enumerate(budgets):
+        view_f32[vi, 0:9] = b.rot.reshape(-1)
+        view_f32[vi, 9] = math.tan(math.radians(hfov_deg) / 2.0)
+        view_f32[vi, 10] = math.tan(math.radians(vfov_deg) / 2.0)
+
+    src_rows = _prepare_source(jnp.asarray(src), interpret=interpret)
+    out = _warp_call(src_rows, jnp.asarray(view_f32),
+                     width=out_w, height=out_h, src_w=src_w, src_h=src_h,
+                     interp=interp, win_rows=win_rows, n_views=n_views,
+                     interpret=interpret)
+    if planar:
+        if pad_w or pad_h:
+            out = out[:, :, :height, :width]
+        return out
+    out = jnp.transpose(out, (0, 2, 3, 1))
+    if pad_w or pad_h:
+        out = out[:, :height, :width, :]
+    return out
