@@ -353,6 +353,24 @@ def warp_plan_views(src: jnp.ndarray, views: Sequence[ViewSpec], *,
     return results
 
 
+@functools.partial(
+    jax.jit, static_argnames=("size", "hfov_deg", "dfov_deg", "model",
+                              "interp"))
+def warp_fisheye_to_perspective(src: jnp.ndarray, size: int, hfov_deg: float,
+                                dfov_deg: float, *, model: str = "equisolid",
+                                interp: str = "bicubic") -> jnp.ndarray:
+    """Single-lens fisheye → perspective transform (Video2Frames'
+    experimental path; the dual-fisheye tool uses the calibrated variant in
+    tools.dualfisheye). Both cameras share the optical axis."""
+    from gs360x.core import camera as cam
+
+    vfov = cam.vfov_from_hfov(hfov_deg, size, size)
+    rays = cam.perspective_rays(size, size, hfov_deg, vfov)
+    u, v, valid = cam.fisheye_uv(rays, src.shape[1], src.shape[0], dfov_deg,
+                                 model=model)
+    return remap(src, u, v, interp=interp, wrap_x=False, valid=valid)
+
+
 # --------------------------------------------------------------------------
 # Dense reference (for kernel tests): no gathers, direct evaluation
 # --------------------------------------------------------------------------
