@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""gs360x headline benchmark: 8K-equirect → 1080p perspective cuts/sec/chip.
+
+Measures the flagship device program — the default-preset multi-view warp
+(8 views, bicubic, v360-parity sampling) of an 8K equirectangular frame to
+1920×1080 perspective views — in steady state on one chip. This is the
+BASELINE.json north-star metric (target: ≥1,000 cuts/sec/chip on v5p).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "views/s", "vs_baseline": N}
+Diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_VIEWS_PER_SEC = 1000.0
+N_VIEWS = 8
+OUT_W, OUT_H = 1920, 1080
+HFOV, VFOV = 112.6, 73.7  # the 12mm/36mm default preset at 16:9
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def timed_throughput(fn, sync, *, warm=1, reps=10):
+    """Queue-drain timing: T(reps+1) - T(1) cancels fixed sync overhead."""
+    for _ in range(warm):
+        sync(fn())
+    t0 = time.time()
+    sync(fn())
+    t_one = time.time() - t0
+    t0 = time.time()
+    out = None
+    for _ in range(reps + 1):
+        out = fn()
+    sync(out)
+    t_many = time.time() - t0
+    per_call = max((t_many - t_one) / reps, 1e-9)
+    return per_call
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
+    rng = np.random.default_rng(0)
+    frame = rng.random((3840, 7680, 3)).astype(np.float32)
+    rows = jnp.asarray(frame.reshape(3840, 7680 * 3))
+    rows.block_until_ready()
+    yaws = np.arange(N_VIEWS) * (360.0 / N_VIEWS)
+    zeros = np.zeros(N_VIEWS)
+
+    def sync(out):
+        return float(out.sum())
+
+    results = {}
+
+    # Pallas fast path
+    try:
+        from gs360x.kernels import warp_pallas as wp
+
+        def run_pallas():
+            return wp.warp_equirect_to_views_pallas(
+                rows, yaws, zeros, zeros, width=OUT_W, height=OUT_H,
+                hfov_deg=HFOV, vfov_deg=VFOV, interp="bicubic", planar=True)
+
+        per = timed_throughput(run_pallas, sync)
+        results["pallas"] = N_VIEWS / per
+        log(f"[bench] pallas: {per * 1000:.1f} ms/frame "
+            f"-> {results['pallas']:.1f} views/s")
+    except Exception as exc:  # keep the bench alive on kernel regressions
+        log(f"[bench] pallas path failed: {type(exc).__name__}: "
+            f"{str(exc)[:300]}")
+
+    # XLA general path (always works)
+    try:
+        from gs360x.kernels import warp as warplib
+
+        src_hwc = jnp.asarray(frame)
+
+        def run_xla():
+            return warplib._warp_equirect_to_views_xla(
+                src_hwc, jnp.asarray(yaws, jnp.float32),
+                jnp.asarray(zeros, jnp.float32),
+                jnp.asarray(zeros, jnp.float32),
+                width=OUT_W, height=OUT_H, hfov_deg=HFOV, vfov_deg=VFOV,
+                projection="perspective", interp="bicubic")
+
+        per = timed_throughput(run_xla, sync, reps=3)
+        results["xla"] = N_VIEWS / per
+        log(f"[bench] xla: {per * 1000:.1f} ms/frame "
+            f"-> {results['xla']:.1f} views/s")
+    except Exception as exc:
+        log(f"[bench] xla path failed: {type(exc).__name__}: "
+            f"{str(exc)[:300]}")
+
+    if not results:
+        print(json.dumps({"metric": "8K->1080p perspective cuts/sec/chip",
+                          "value": 0.0, "unit": "views/s",
+                          "vs_baseline": 0.0}))
+        return 1
+
+    best_name, best = max(results.items(), key=lambda kv: kv[1])
+    log(f"[bench] best backend: {best_name}")
+    print(json.dumps({
+        "metric": "8K->1080p perspective cuts/sec/chip (8-view bicubic warp)",
+        "value": round(best, 2),
+        "unit": "views/s",
+        "vs_baseline": round(best / BASELINE_VIEWS_PER_SEC, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

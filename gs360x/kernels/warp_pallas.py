@@ -393,19 +393,29 @@ def _warp_call(src_rows, view_f32, *, width, height, src_w, src_h,
     )(view_f32, src_rows)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _prepare_source(src, interpret=False):
-    """HWC frame -> seam-padded row-major (H, (W+WIN_COLS)*3) f32.
+@jax.jit
+def _pad_source_rows(src_rows):
+    """(H, W*3) f32 -> seam-padded (H, (W+WIN_COLS)*3).
 
-    Concatenation along W keeps large contiguous rows (cheap copy); the
-    HWC->planar conversion happens inside the kernel via lane shuffles,
-    because an XLA (H,W,3)->(3,H,W) transpose of an 8K frame is pathologic
-    on TPU.
+    Operates on 2-D row-major arrays only: ANY device op on (..., 3)-shaped
+    arrays is pathological on TPU (the 3-wide minor dim tiles to 128 lanes,
+    a 42x layout blowup), so HWC frames must be flattened to (H, W*3) on
+    the host (a free numpy reshape) before reaching the device.
     """
-    src = src.astype(jnp.float32)
-    padded = jnp.concatenate([src, src[:, :WIN_COLS, :]], axis=1)
-    h, wp, _ = padded.shape
-    return padded.reshape(h, wp * 3)
+    return jnp.concatenate(
+        [src_rows, src_rows[:, :WIN_COLS * 3]], axis=1).astype(jnp.float32)
+
+
+def _as_source_rows(src):
+    """Accept (H, W, 3) host/device arrays or pre-flattened (H, W*3)."""
+    if hasattr(src, "ndim") and src.ndim == 2:
+        return jnp.asarray(src)
+    if isinstance(src, np.ndarray):
+        h, w, c = src.shape
+        return jnp.asarray(np.ascontiguousarray(src).reshape(h, w * c))
+    arr = jnp.asarray(src)
+    h, w, c = arr.shape
+    return arr.reshape(h, w * c)
 
 
 def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
@@ -430,7 +440,9 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     yaws = np.asarray(yaws, np.float64).reshape(-1)
     pitches = np.asarray(pitches, np.float64).reshape(-1)
     rolls = np.asarray(rolls, np.float64).reshape(-1)
-    src_h, src_w = int(src.shape[0]), int(src.shape[1])
+    src_rows = _as_source_rows(src)
+    src_h = int(src_rows.shape[0])
+    src_w = int(src_rows.shape[1]) // 3
 
     pad_w = (-width) % TILE_COLS
     pad_h = (-height) % TILE_ROWS
@@ -453,7 +465,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
         view_f32[vi, 9] = math.tan(math.radians(hfov_deg) / 2.0)
         view_f32[vi, 10] = math.tan(math.radians(vfov_deg) / 2.0)
 
-    src_rows = _prepare_source(jnp.asarray(src), interpret=interpret)
+    src_rows = _pad_source_rows(src_rows)
     out = _warp_call(src_rows, jnp.asarray(view_f32),
                      width=out_w, height=out_h, src_w=src_w, src_h=src_h,
                      interp=interp, win_rows=win_rows, n_views=n_views,

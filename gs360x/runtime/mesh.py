@@ -1,0 +1,86 @@
+"""Device-mesh data parallelism for the warp pipeline.
+
+The reference's only scale axis is (frames × views) fan-out over ffmpeg
+processes (SURVEY §2.5); the TPU-native equivalent is pure data parallelism
+over a 1-D ``jax.sharding.Mesh``: frames are sharded across chips, each chip
+warps all views of its frames, collectives are only needed for metrics
+reductions (``psum``). Multi-host pods would feed per-host frame shards over
+DCN; on-pod traffic rides ICI automatically via jit's SPMD partitioner.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def data_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devs = np.array(devices if devices is not None else jax.devices())
+    return Mesh(devs, (DATA_AXIS,))
+
+
+def shard_frames(mesh: Mesh, frames: jnp.ndarray) -> jnp.ndarray:
+    """Place a (B, H, W, C) frame batch with B sharded across the mesh."""
+    return jax.device_put(
+        frames, NamedSharding(mesh, P(DATA_AXIS, None, None, None)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "hfov_deg", "vfov_deg", "interp"))
+def _warp_batch(frames, yaws, pitches, rolls, *, width, height, hfov_deg,
+                vfov_deg, interp):
+    from gs360x.kernels import warp as warplib
+
+    def per_frame(frame):
+        return warplib._warp_equirect_to_views_xla(
+            frame, yaws, pitches, rolls, width=width, height=height,
+            hfov_deg=hfov_deg, vfov_deg=vfov_deg,
+            projection="perspective", interp=interp)
+
+    return jax.vmap(per_frame)(frames)
+
+
+def warp_frames_sharded(mesh: Mesh, frames: jnp.ndarray, yaws, pitches,
+                        rolls, *, width: int, height: int, hfov_deg: float,
+                        vfov_deg: float, interp: str = "bicubic"):
+    """Warp a frame batch data-parallel over the mesh.
+
+    ``frames``: (B, H, W, C) with B divisible by mesh size. Output is
+    (B, V, height, width, C), sharded the same way — each chip's outputs
+    stay local until the host drains them (no cross-chip pixel traffic).
+    """
+    frames = shard_frames(mesh, frames)
+    yaws = jnp.asarray(yaws, jnp.float32)
+    pitches = jnp.asarray(pitches, jnp.float32)
+    rolls = jnp.asarray(rolls, jnp.float32)
+    with mesh:
+        out = _warp_batch(frames, yaws, pitches, rolls, width=width,
+                          height=height, hfov_deg=hfov_deg,
+                          vfov_deg=vfov_deg, interp=interp)
+    return out
+
+
+def sharded_batch_stats(mesh: Mesh, frames: jnp.ndarray):
+    """Example metrics reduction across the mesh (mean luma + sharpness sum)
+    using jit's automatic collectives."""
+    from gs360x.kernels import sharpness as sharp
+
+    @jax.jit
+    def stats(batch):
+        gray = (0.299 * batch[..., 0] + 0.587 * batch[..., 1]
+                + 0.114 * batch[..., 2])
+        lum = jnp.mean(gray)
+        ten = jnp.mean(jax.vmap(sharp.tenengrad)(gray * 255.0))
+        return lum, ten
+
+    with mesh:
+        return stats(shard_frames(mesh, frames))
