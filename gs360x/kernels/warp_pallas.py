@@ -51,6 +51,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+STOP_AFTER = "full"     # dev triage knob: geom_dma|deint|hgather|full
 TILE_ROWS = 8           # output rows per tile (TPU block-shape minimum)
 TILE_COLS = 128         # output cols per tile (one lane vreg)
 WIN_COLS = 384          # window cols: three 128-lane blocks, origin 128-aligned
@@ -96,29 +97,57 @@ class ViewBudget:
     rot: np.ndarray
 
 
+@functools.lru_cache(maxsize=4096)
 def plan_view(width: int, height: int, hfov_deg: float, vfov_deg: float,
               yaw_deg: float, pitch_deg: float, roll_deg: float,
               src_w: int, src_h: int) -> Optional[ViewBudget]:
-    """Validate a view against the kernel's static window budget."""
+    """Validate a view against the kernel's static window budget.
+
+    Cached: view geometry is static across frames, and an uncached full-grid
+    numpy evaluation per call was 100x slower than the kernel itself. The
+    grid is sampled at stride 4 per axis with a conservative span margin
+    (coordinate curvature over 4 px is well under 1 px for any view that
+    fits the budget anyway).
+    """
     if width % TILE_COLS or height % TILE_ROWS:
         return None
     rot = _rot_matrix(yaw_deg, pitch_deg, roll_deg)
-    u, v = _np_view_coords(width, height, hfov_deg, vfov_deg, rot,
-                           src_w, src_h)
+    u, v = _np_view_coords_strided(width, height, hfov_deg, vfov_deg, rot,
+                                   src_w, src_h, stride=4)
     n_ty, n_tx = height // TILE_ROWS, width // TILE_COLS
-    uc = u.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
-    vc = v.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
+    uc = u.reshape(n_ty, TILE_ROWS // 4, n_tx, TILE_COLS // 4)
+    vc = v.reshape(n_ty, TILE_ROWS // 4, n_tx, TILE_COLS // 4)
+    margin = 3.0  # stride-sampling slack on the min/max estimates
     # tile-center-relative unwrap, mirroring the kernel's seam handling
-    u_center = uc[:, TILE_ROWS // 2, :, TILE_COLS // 2][:, None, :, None]
+    u_center = uc[:, 0, :, (TILE_COLS // 4) // 2][:, None, :, None]
     urel = np.mod(uc - u_center + src_w / 2.0, src_w) - src_w / 2.0
-    h_span = urel.max(axis=(1, 3)) - urel.min(axis=(1, 3)) + 2 * H_MARGIN
-    v_span = vc.max(axis=(1, 3)) - vc.min(axis=(1, 3)) + 2 * V_MARGIN
+    h_span = (urel.max(axis=(1, 3)) - urel.min(axis=(1, 3))
+              + 2 * H_MARGIN + 2 * margin)
+    v_span = (vc.max(axis=(1, 3)) - vc.min(axis=(1, 3))
+              + 2 * V_MARGIN + 2 * margin)
     if (h_span > WIN_COLS - 131).any():  # 127 col-alignment + 4 slack
         return None
     for r in ROW_CLASSES:
         if float(v_span.max()) <= r - 9:  # 7 rows row-alignment slack
             return ViewBudget(win_rows=r, rot=rot.astype(np.float32))
     return None
+
+
+def _np_view_coords_strided(width, height, hfov_deg, vfov_deg, rot,
+                            src_w, src_h, stride=4):
+    """Coordinate grid sampled every ``stride`` pixels (planner only)."""
+    xs = (2.0 * np.arange(0, width, stride) + 1.0) / width - 1.0
+    ys = (2.0 * np.arange(0, height, stride) + 1.0) / height - 1.0
+    nx, ny = np.meshgrid(xs * math.tan(math.radians(hfov_deg) / 2.0),
+                         ys * math.tan(math.radians(vfov_deg) / 2.0))
+    d = np.stack([nx, ny, np.ones_like(nx)], axis=-1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    world = d @ rot.T
+    phi = np.arctan2(world[..., 0], world[..., 2])
+    theta = np.arcsin(np.clip(world[..., 1], -1.0, 1.0))
+    u = (phi / math.pi + 1.0) * (src_w / 2.0) - 0.5
+    v = (theta / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
+    return u, v
 
 
 # --------------------------------------------------------------------------
@@ -268,11 +297,17 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
     slot = tile % 2
     start_dma(slot, rm_t, cm_t).wait()
 
+    if STOP_AFTER == "geom_dma":
+        for c in range(3):
+            out_ref[0, c, :, :] = win_raw[slot, 0:8, c*128:(c+1)*128] + urel
+        return
+
     # ---- de-interleave RGB lanes -> planar scratch (static shuffles) ----
-    raw = win_raw[slot]                              # (R, 3*WIN_COLS)
+    # Values are read from scratch REFS one 128-lane block at a time and
+    # dropped immediately: materializing the whole window as a value keeps
+    # ~100 vregs live and sends Mosaic into VMEM spill/fill storms (measured
+    # 100x slowdown).
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, TILE_COLS), 1)
-    raw_blocks = [raw[:, b * TILE_COLS:(b + 1) * TILE_COLS]
-                  for b in range(3 * N_BLOCKS)]
     for c in range(3):
         for ob in range(N_BLOCKS):
             # planar[c, :, ob*128 + l] = raw[:, (ob*128 + l)*3 + c]
@@ -280,13 +315,19 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
             blk0 = ob * 3                            # lanes span 3 raw blocks
             g = None
             for b in range(blk0, blk0 + 3):
+                raw_blk = win_raw[slot, :, b * TILE_COLS:(b + 1) * TILE_COLS]
                 gb = jnp.take_along_axis(
-                    raw_blocks[b],
+                    raw_blk,
                     jnp.clip(src_lane - b * TILE_COLS, 0, TILE_COLS - 1),
                     axis=1)
                 gb = jnp.where((src_lane // TILE_COLS) == b, gb, 0.0)
                 g = gb if g is None else g + gb
             planar[c, :, ob * TILE_COLS:(ob + 1) * TILE_COLS] = g
+
+    if STOP_AFTER == "deint":
+        for c in range(3):
+            out_ref[0, c, :, :] = planar[c, 0:8, 0:128] + urel
+        return
 
     x0f = jnp.floor(urel)
     y0f = jnp.floor(vrel)
@@ -305,33 +346,39 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
         koff = 0
     n_taps = len(hw)
 
-    win_blocks = [planar[:, :, b * TILE_COLS:(b + 1) * TILE_COLS]
-                  .reshape(3 * R, TILE_COLS) for b in range(N_BLOCKS)]
-
     rows = [[None] * TILE_ROWS for _ in range(3)]
     for i in range(TILE_ROWS):
         x0_i = x0[i:i + 1, :]
         y0_i = y0[i:i + 1, :]
         hw_i = [w[i:i + 1, :] for w in hw]
         vw_i = [w[i:i + 1, :] for w in vw]
-        # horizontal: Ih (3R, 128) = sum_k hw_k * win[:, x0+k]
-        ih = None
-        for k in range(n_taps):
-            xi = jnp.clip(x0_i + (k + koff), 0, WIN_COLS - 1)
-            xi_b = jnp.broadcast_to(xi, (3 * R, TILE_COLS))
-            g = _blocked_lane_gather(win_blocks, xi_b)
-            contrib = g * jnp.broadcast_to(hw_i[k], (3 * R, TILE_COLS))
-            ih = contrib if ih is None else ih + contrib
-        # vertical: per channel, hierarchical single-vreg sublane gathers
         for c in range(3):
-            ch = ih[c * R:(c + 1) * R, :]
+            # horizontal: Ih (R, 128) = sum_k hw_k * planar[c][:, x0+k]
+            ih = None
+            for k in range(n_taps):
+                xi = jnp.clip(x0_i + (k + koff), 0, WIN_COLS - 1)
+                xi_b = jnp.broadcast_to(xi, (R, TILE_COLS))
+                g = None
+                for b in range(N_BLOCKS):
+                    blk = planar[c, :, b * TILE_COLS:(b + 1) * TILE_COLS]
+                    gb = jnp.take_along_axis(
+                        blk, jnp.clip(xi_b - b * TILE_COLS, 0,
+                                      TILE_COLS - 1), axis=1)
+                    gb = jnp.where((xi_b // TILE_COLS) == b, gb, 0.0)
+                    g = gb if g is None else g + gb
+                contrib = g * jnp.broadcast_to(hw_i[k], (R, TILE_COLS))
+                ih = contrib if ih is None else ih + contrib
+            if STOP_AFTER == "hgather":
+                rows[c][i] = ih[0:1, :]
+                continue
+            # vertical: hierarchical single-vreg sublane gathers over ih
             row_val = None
             for m in range(n_taps):
                 ym = jnp.clip(y0_i + (m + koff), 0, R - 1)
                 ym8 = jnp.broadcast_to(ym, (8, TILE_COLS))
                 tap_val = None
                 for t in range(R // 8):
-                    blk = ch[t * 8:(t + 1) * 8, :]
+                    blk = ih[t * 8:(t + 1) * 8, :]
                     g = jnp.take_along_axis(
                         blk, jnp.clip(ym8 - t * 8, 0, 7), axis=0)[0:1, :]
                     val = jnp.where((ym // 8) == t, g, 0.0)
