@@ -69,11 +69,18 @@ def read_image_gray(path) -> np.ndarray:
     return 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
 
 
-def write_image(path, img: np.ndarray, *, jpeg_quality: Optional[int] = None) -> None:
-    """Write (H, W, 3) uint8/uint16 (or (H, W) gray) to path by extension."""
+def write_image(path, img: np.ndarray, *, jpeg_quality: Optional[int] = None,
+                planar: bool = False) -> None:
+    """Write (H, W, 3) uint8/uint16 (or (H, W) gray) to path by extension.
+
+    ``planar=True`` accepts (3, H, W) and interleaves here, inside the
+    writer thread — device-side planar→HWC transposes are pathological on
+    TPU, so the channel interleave belongs on the host encode path."""
     path = pathlib.Path(path)
     ext = path.suffix.lower()
     img = np.asarray(img)
+    if planar:
+        img = np.ascontiguousarray(np.moveaxis(img, 0, -1))
     if img.dtype == np.uint16:
         if ext in (".jpg", ".jpeg"):
             img = (img >> 8).astype(np.uint8)

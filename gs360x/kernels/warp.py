@@ -37,6 +37,15 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+
+def default_device_platform() -> str:
+    """Platform of the device jit actually targets (respects
+    jax_default_device, which tests use to pin CPU under TPU plugins)."""
+    dev = jax.config.jax_default_device
+    if dev is None:
+        dev = jax.devices()[0]
+    return getattr(dev, "platform", jax.default_backend())
+
 from gs360x.rig.spec import ViewSpec
 
 # --------------------------------------------------------------------------
@@ -309,7 +318,7 @@ def warp_equirect_to_views(src: jnp.ndarray,
         try:
             # off-TPU the Mosaic kernel runs in interpret mode (tests, CPU
             # dev boxes); on TPU it compiles natively
-            interpret = jax.default_backend() != "tpu"
+            interpret = default_device_platform() != "tpu"
             return warp_pallas.warp_equirect_to_views_pallas(
                 src, yaws, pitches, rolls, width=width, height=height,
                 hfov_deg=hfov_deg, vfov_deg=vfov_deg, projection=projection,

@@ -442,15 +442,21 @@ def _warp_call(src_rows, view_f32, *, width, height, src_w, src_h,
 
 @jax.jit
 def _pad_source_rows(src_rows):
-    """(H, W*3) f32 -> seam-padded (H, (W+WIN_COLS)*3).
+    """(H, W*3) rows -> seam-padded f32 (H, (W+WIN_COLS)*3) in [0,1] units.
 
     Operates on 2-D row-major arrays only: ANY device op on (..., 3)-shaped
     arrays is pathological on TPU (the 3-wide minor dim tiles to 128 lanes,
     a 42x layout blowup), so HWC frames must be flattened to (H, W*3) on
-    the host (a free numpy reshape) before reaching the device.
+    the host (a free numpy reshape) before reaching the device. Accepts
+    uint8/uint16 rows and normalizes on device — transferring uint8 instead
+    of f32 is 4x less host->device traffic.
     """
-    return jnp.concatenate(
-        [src_rows, src_rows[:, :WIN_COLS * 3]], axis=1).astype(jnp.float32)
+    padded = jnp.concatenate([src_rows, src_rows[:, :WIN_COLS * 3]], axis=1)
+    if padded.dtype == jnp.uint8:
+        return padded.astype(jnp.float32) * (1.0 / 255.0)
+    if padded.dtype == jnp.uint16:
+        return padded.astype(jnp.float32) * (1.0 / 65535.0)
+    return padded.astype(jnp.float32)
 
 
 def _as_source_rows(src):

@@ -77,10 +77,80 @@ class ProgressPrinter:
             self.stream.flush()
 
 
-def _encode_batch(views_float: Dict[str, np.ndarray], bit_depth: int):
-    depth = 16 if bit_depth > 8 else 8
-    return {name: imagelib.from_float01(arr, depth)
-            for name, arr in views_float.items()}
+def _warp_frame_views(frame: np.ndarray, views, *, interp: str,
+                      backend: str, keep_rec709: Optional[bool] = None):
+    """Warp one decoded frame through all plan views.
+
+    Returns [(array, planar_bool), ...] in view order. The pallas fast path
+    consumes the frame as (H, W*3) rows (free host reshape) and returns
+    planar (3, h, w) outputs; the channel interleave happens in the encode
+    threads. Ineligible views (fisheye projections, extreme geometry) fall
+    back to the XLA HWC path. When ``keep_rec709`` is not None the video
+    color move runs on device — on the warped planar outputs (pointwise, so
+    it commutes with resampling within interpolation tolerance, and touches
+    ~15x fewer pixels than the source).
+    """
+    from gs360x.core import color as colorlib2
+    from gs360x.kernels import warp_pallas
+
+    results: List = [None] * len(views)
+    h, w = frame.shape[:2]
+    rows = None
+    src_f32 = None
+
+    groups: Dict[tuple, List[int]] = {}
+    for i, view in enumerate(views):
+        key = (view.projection, view.width, view.height,
+               round(view.hfov_deg, 6), round(view.vfov_deg, 6))
+        groups.setdefault(key, []).append(i)
+
+    def color(arr, planar):
+        if keep_rec709 is None:
+            return arr
+        if planar:
+            return colorlib2.video_color_move_planar(
+                arr, keep_rec709=keep_rec709)
+        return colorlib2.video_color_move(arr, keep_rec709=keep_rec709)
+
+    for (projection, vw, vh, hfov, vfov), idxs in groups.items():
+        yaws = np.array([views[i].yaw_deg for i in idxs], np.float64)
+        pitches = np.array([views[i].pitch_deg for i in idxs], np.float64)
+        rolls = np.array([views[i].roll_deg for i in idxs], np.float64)
+        done = False
+        if backend in ("auto", "pallas") \
+                and warplib.default_device_platform() == "tpu":
+            try:
+                if rows is None:
+                    # transfer in the source dtype (uint8 = 4x less tunnel
+                    # traffic); normalization happens on device in the pad
+                    rows = jnp.asarray(np.ascontiguousarray(frame)
+                                       .reshape(h, w * 3))
+                out = warp_pallas.warp_equirect_to_views_pallas(
+                    rows, yaws, pitches, rolls, width=vw, height=vh,
+                    hfov_deg=hfov, vfov_deg=vfov, projection=projection,
+                    interp=interp if interp in ("bicubic", "bilinear")
+                    else "bilinear", planar=True)
+                out = color(out, True)
+                for j, i in enumerate(idxs):
+                    results[i] = (out[j], True)
+                done = True
+            except warp_pallas.PallasFallback:
+                pass
+        if not done:
+            if src_f32 is None:
+                src_f32 = jnp.asarray(imagelib.to_float01(frame)) \
+                    if frame.dtype != np.float32 else jnp.asarray(frame)
+            src = src_f32
+            out = warplib._warp_equirect_to_views_xla(
+                src, jnp.asarray(yaws, jnp.float32),
+                jnp.asarray(pitches, jnp.float32),
+                jnp.asarray(rolls, jnp.float32), width=vw, height=vh,
+                hfov_deg=hfov, vfov_deg=vfov, projection=projection,
+                interp=interp)
+            out = color(out, False)
+            for j, i in enumerate(idxs):
+                results[i] = (out[j], False)
+    return results
 
 
 def run_plan(plan: RenderPlan, *,
@@ -142,21 +212,20 @@ def _run_images(plan, writer, report, stop_event, tick, backend, interp,
             tick(done, report.total)
             continue
         try:
-            src = imagelib.to_float01(imagelib.read_image(source))
+            src = imagelib.read_image(source)
         except Exception as exc:
             report.failed += len(pending)
             report.errors.append(f"{source.name}: {exc}")
             done += len(pending)
             tick(done, report.total)
             continue
-        src_dev = jnp.asarray(src)
-        outs = warplib.warp_plan_views(
-            src_dev, [j.view for j in pending], interp=interp, backend=backend)
-        for job, out in zip(pending, outs):
+        outs = _warp_frame_views(src, [j.view for j in pending],
+                                 interp=interp, backend=backend)
+        for job, (out, planar) in zip(pending, outs):
             arr = np.asarray(jax.device_get(out))
             img = imagelib.from_float01(arr, 16 if plan.bit_depth > 8 else 8)
             writer.submit(plan.out_dir / job.output_name, img,
-                          jpeg_quality=jpeg_quality)
+                          jpeg_quality=jpeg_quality, planar=planar)
             report.ok += 1
             done += 1
             tick(done, report.total)
@@ -185,11 +254,11 @@ def _run_video(plan, writer, report, stop_event, tick, backend, interp,
     for idx, _t, rgb in frame_iter:
         if stop_event.is_set():
             return
-        src = jnp.asarray(imagelib.to_float01(rgb))
-        # video color chain (Rec709 -> SMPTE170M [+ sRGB trc]) before warping
-        src = colorlib.video_color_move(src, keep_rec709=plan.keep_rec709)
-        outs = warplib.warp_plan_views(src, views, interp=interp, backend=backend)
-        for pattern, out in zip(name_patterns, outs):
+        # video color chain (Rec709 -> SMPTE170M [+ sRGB trc]) fused into
+        # the warp call (applied on the warped planar outputs)
+        outs = _warp_frame_views(rgb, views, interp=interp, backend=backend,
+                                 keep_rec709=plan.keep_rec709)
+        for pattern, (out, planar) in zip(name_patterns, outs):
             name = pattern.replace("%07d", f"{idx:07d}")
             out_path = plan.out_dir / name
             if not overwrite and out_path.exists():
@@ -197,7 +266,8 @@ def _run_video(plan, writer, report, stop_event, tick, backend, interp,
             else:
                 arr = np.asarray(jax.device_get(out))
                 img = imagelib.from_float01(arr, 16 if plan.bit_depth > 8 else 8)
-                writer.submit(out_path, img, jpeg_quality=jpeg_quality)
+                writer.submit(out_path, img, jpeg_quality=jpeg_quality,
+                              planar=planar)
                 report.ok += 1
             done += 1
             if total_est:

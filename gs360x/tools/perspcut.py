@@ -98,8 +98,10 @@ def create_arg_parser() -> argparse.ArgumentParser:
                     help="Print the full view plan without executing")
     ap.add_argument("--interp", choices=["bilinear", "bicubic", "nearest"],
                     default="bicubic", help="Resampling kernel")
-    ap.add_argument("--backend", choices=["xla", "pallas"], default="xla",
-                    help="Warp kernel backend")
+    ap.add_argument("--backend", choices=["auto", "xla", "pallas"],
+                    default="auto",
+                    help="Warp kernel backend (auto = pallas fast path with "
+                         "transparent XLA fallback)")
     ap.add_argument("--no-overwrite", action="store_true",
                     help="Skip outputs that already exist (resume)")
     return ap
