@@ -80,7 +80,16 @@ def write_image(path, img: np.ndarray, *, jpeg_quality: Optional[int] = None,
     ext = path.suffix.lower()
     img = np.asarray(img)
     if planar:
-        img = np.ascontiguousarray(np.moveaxis(img, 0, -1))
+        if img.dtype == np.float32:
+            from gs360x import native
+
+            img = native.planar_f32_to_u8_hwc(img)
+        elif img.dtype == np.uint8:
+            from gs360x import native
+
+            img = native.interleave_u8(img)
+        else:
+            img = np.ascontiguousarray(np.moveaxis(img, 0, -1))
     if img.dtype == np.uint16:
         if ext in (".jpg", ".jpeg"):
             img = (img >> 8).astype(np.uint8)

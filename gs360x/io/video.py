@@ -164,10 +164,19 @@ class Y4MReader:
                 buf = f.read(self._frame_bytes)
                 if len(buf) < self._frame_bytes:
                     return
+                from gs360x import native
+
                 if self.chroma == "444":
-                    yuv = np.frombuffer(buf, np.uint8).reshape(3, h, w)
-                    yuv = np.transpose(yuv, (1, 2, 0))
+                    planes = np.frombuffer(buf, np.uint8).reshape(3, h, w)
+                    if native.HAS_NATIVE:
+                        yield native.yuv444_to_rgb(planes)
+                        continue
+                    yuv = np.transpose(planes, (1, 2, 0))
                 else:
+                    if native.HAS_NATIVE:
+                        yield native.yuv420_to_rgb(
+                            np.frombuffer(buf, np.uint8), h, w)
+                        continue
                     ysz = w * h
                     csz = ysz // 4
                     y = np.frombuffer(buf[:ysz], np.uint8).reshape(h, w)
@@ -246,6 +255,17 @@ class MJPEGAVIReader:
         self.fps = 30.0
         self.width = self.height = 0
         self._offsets: List[Tuple[int, int]] = []
+        from gs360x import native
+
+        if native.HAS_NATIVE:
+            try:
+                offs, sizes, info = native.avi_scan(raw)
+                self._offsets = list(zip(offs.tolist(), sizes.tolist()))
+                self.width, self.height = info["width"], info["height"]
+                self.fps = info["fps"] or 30.0
+                return
+            except (ValueError, RuntimeError):
+                self._offsets = []
         self._scan(raw)
 
     def _scan(self, raw: bytes) -> None:
