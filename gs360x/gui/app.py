@@ -1,0 +1,267 @@
+"""Tkinter application: tabbed front-end over the gs360x CLI tools.
+
+Generic rendering of :mod:`gs360x.gui.forms` tab specs: every tab gets a
+form, Run/Stop buttons, and a streamed log pane; the 360PerspCut tab adds a
+live preview canvas drawing view-footprint overlays on the loaded panorama
+(the reference GUI's core interactions, ``gs360_GUI.py:1446-1493,
+8598-8879``). Settings persist per tab across sessions.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import queue
+import tkinter as tk
+from tkinter import filedialog, ttk
+from typing import Dict
+
+from gs360x.gui import forms, overlay
+from gs360x.gui.runner import ProcessRunner, tool_argv
+from gs360x.gui.settings import Settings
+
+OVERLAY_COLORS = ("#ff5252", "#40c4ff", "#69f0ae", "#ffd740", "#ff6e40",
+                  "#b388ff", "#64ffda", "#ffab40")
+
+
+class ToolTab(ttk.Frame):
+    def __init__(self, master, app, title, module, fields, build_argv):
+        super().__init__(master)
+        self.app = app
+        self.title = title
+        self.module = module
+        self.fields = fields
+        self.build_argv = build_argv
+        self.vars: Dict[str, tk.Variable] = {}
+        self._build()
+        self._restore()
+
+    # ---- form -------------------------------------------------------------
+
+    def _build(self):
+        form = ttk.Frame(self)
+        form.pack(side="top", fill="x", padx=8, pady=6)
+        for row, (key, label, kind, default) in enumerate(self.fields):
+            ttk.Label(form, text=label).grid(row=row, column=0, sticky="w",
+                                             padx=4, pady=2)
+            if kind == "bool":
+                var = tk.BooleanVar(value=bool(default))
+                ttk.Checkbutton(form, variable=var).grid(
+                    row=row, column=1, sticky="w")
+            elif kind.startswith("choice:"):
+                var = tk.StringVar(value=str(default))
+                ttk.Combobox(form, textvariable=var, state="readonly",
+                             values=kind.split(":", 1)[1].split("|"),
+                             width=28).grid(row=row, column=1, sticky="w")
+            else:
+                var = tk.StringVar(value=str(default))
+                entry = ttk.Entry(form, textvariable=var, width=48)
+                entry.grid(row=row, column=1, sticky="we")
+                if kind in ("path", "dir"):
+                    ttk.Button(form, text="…", width=3,
+                               command=lambda v=var, k=kind:
+                               self._browse(v, k)).grid(row=row, column=2)
+            self.vars[key] = var
+        form.columnconfigure(1, weight=1)
+
+        btns = ttk.Frame(self)
+        btns.pack(side="top", fill="x", padx=8)
+        ttk.Button(btns, text="Run", command=self.run).pack(side="left")
+        ttk.Button(btns, text="Stop", command=self.stop).pack(side="left",
+                                                              padx=4)
+        ttk.Button(btns, text="Show command",
+                   command=self.show_command).pack(side="left", padx=4)
+
+        self.log = tk.Text(self, height=14, state="disabled",
+                           font=("monospace", 9))
+        self.log.pack(side="bottom", fill="both", expand=True, padx=8,
+                      pady=6)
+
+    def _browse(self, var, kind):
+        path = (filedialog.askdirectory() if kind == "dir"
+                else filedialog.askopenfilename())
+        if path:
+            var.set(path)
+
+    # ---- values / settings --------------------------------------------------
+
+    def values(self) -> Dict:
+        out = {}
+        for key, _label, kind, _default in self.fields:
+            val = self.vars[key].get()
+            if kind == "int" and str(val).strip():
+                try:
+                    val = int(float(val))
+                except ValueError:
+                    pass
+            elif kind == "float" and str(val).strip():
+                try:
+                    val = float(val)
+                except ValueError:
+                    pass
+            out[key] = val
+        return out
+
+    def _restore(self):
+        saved = self.app.settings.tab(self.module)
+        for key, var in self.vars.items():
+            if key in saved:
+                try:
+                    var.set(saved[key])
+                except tk.TclError:
+                    pass
+
+    def persist(self):
+        self.app.settings.update_tab(self.module,
+                                     {k: v.get() for k, v in
+                                      self.vars.items()})
+
+    # ---- run --------------------------------------------------------------
+
+    def append_log(self, text: str):
+        self.app.log_queue.put((self, text))
+
+    def run(self):
+        self.persist()
+        self.app.settings.save()
+        try:
+            argv = tool_argv(self.module, self.build_argv(self.values()))
+        except (KeyError, ValueError) as exc:
+            self.append_log(f"[ERR] bad arguments: {exc}\n")
+            return
+        self.append_log("$ " + " ".join(argv) + "\n")
+        self.app.runner.run(self.module, argv, self.append_log)
+
+    def stop(self):
+        if self.app.runner.stop(self.module):
+            self.append_log("[INFO] stop requested\n")
+
+    def show_command(self):
+        try:
+            argv = tool_argv(self.module, self.build_argv(self.values()))
+            self.append_log("$ " + " ".join(argv) + "\n")
+        except (KeyError, ValueError) as exc:
+            self.append_log(f"[ERR] bad arguments: {exc}\n")
+
+
+class PerspCutTab(ToolTab):
+    """360PerspCut tab with the view-footprint preview canvas."""
+
+    def _build(self):
+        super()._build()
+        bar = ttk.Frame(self)
+        bar.pack(side="top", fill="x", padx=8)
+        ttk.Button(bar, text="Preview overlays",
+                   command=self.preview).pack(side="left")
+        self.canvas = tk.Canvas(self, height=240, bg="#202020")
+        self.canvas.pack(side="top", fill="x", padx=8, pady=4)
+        self._photo = None
+
+    def preview(self):
+        import numpy as np
+
+        from gs360x.rig.presets import PerspCutConfig, build_view_plan
+        from gs360x.tools.perspcut import config_from_args
+
+        values = self.values()
+        cfg = PerspCutConfig(
+            preset=values.get("preset", "default"),
+            count=int(values.get("count") or 8),
+            addcam=str(values.get("addcam", "")),
+            delcam=str(values.get("delcam", "")),
+            setcam=str(values.get("setcam", "")),
+            add_top=bool(values.get("add_top")),
+            add_bottom=bool(values.get("add_bottom")),
+            size=int(values.get("size") or 1600),
+            focal_mm=float(values.get("focal_mm") or 12.0))
+        plan = build_view_plan(cfg, [pathlib.Path("preview.jpg")],
+                               pathlib.Path("."))
+        self.append_log(plan.preview_views_line + "\n")
+
+        cw = max(int(self.canvas.winfo_width()), 480)
+        ch = cw // 2
+        self.canvas.configure(height=ch)
+        self.canvas.delete("all")
+
+        # background: the first panorama in the input dir, if any
+        in_dir = pathlib.Path(str(values.get("input_dir") or "."))
+        bg = None
+        if in_dir.is_dir():
+            for p in sorted(in_dir.iterdir()):
+                if p.suffix.lower() in (".jpg", ".jpeg", ".png"):
+                    bg = p
+                    break
+        if bg is not None:
+            try:
+                from PIL import Image, ImageTk
+
+                img = Image.open(bg).convert("RGB").resize((cw, ch))
+                self._photo = ImageTk.PhotoImage(img)
+                self.canvas.create_image(0, 0, image=self._photo,
+                                         anchor="nw")
+            except Exception:
+                pass
+
+        views = plan.unique_views()
+        overlays = overlay.plan_overlays(views, cw, ch)
+        for i, ov in enumerate(overlays):
+            color = OVERLAY_COLORS[i % len(OVERLAY_COLORS)]
+            for seg in ov.segments:
+                pts = [coord for xy in seg for coord in
+                       (float(xy[0]), float(xy[1]))]
+                if len(pts) >= 4:
+                    self.canvas.create_line(*pts, fill=color, width=2)
+            self.canvas.create_text(ov.label_xy[0], ov.label_xy[1],
+                                    text=ov.view_id, fill=color,
+                                    font=("sans", 10, "bold"))
+
+
+class App:
+    def __init__(self, root: tk.Tk, settings_path=None):
+        self.root = root
+        self.settings = Settings(settings_path)
+        self.runner = ProcessRunner()
+        self.log_queue: "queue.Queue" = queue.Queue()
+        root.title("gs360x — 360° → photogrammetry / 3DGS toolkit (TPU)")
+        root.geometry("980x720")
+
+        notebook = ttk.Notebook(root)
+        notebook.pack(fill="both", expand=True)
+        self.tabs = []
+        for title, module, fields, build in forms.TABS:
+            cls = PerspCutTab if module == "perspcut" else ToolTab
+            tab = cls(notebook, self, title, module, fields, build)
+            notebook.add(tab, text=title)
+            self.tabs.append(tab)
+
+        root.protocol("WM_DELETE_WINDOW", self.close)
+        self._drain_logs()
+
+    def _drain_logs(self):
+        try:
+            while True:
+                tab, text = self.log_queue.get_nowait()
+                tab.log.configure(state="normal")
+                tab.log.insert("end", text)
+                tab.log.see("end")
+                tab.log.configure(state="disabled")
+        except queue.Empty:
+            pass
+        self.root.after(100, self._drain_logs)
+
+    def close(self):
+        for tab in self.tabs:
+            tab.persist()
+        self.settings.save()
+        self.runner.stop_all()
+        self.root.destroy()
+
+
+def main() -> int:
+    root = tk.Tk()
+    App(root)
+    root.mainloop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
