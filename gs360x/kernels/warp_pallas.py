@@ -52,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 STOP_AFTER = "full"     # dev triage knob: geom_dma|deint|hgather|full
-TILE_ROWS = 8           # output rows per tile (TPU block-shape minimum)
+TILE_ROWS = 16          # output rows per tile (multiple of 8)
 TILE_COLS = 128         # output cols per tile (one lane vreg)
 WIN_COLS = 384          # window cols: three 128-lane blocks, origin 128-aligned
 N_BLOCKS = WIN_COLS // TILE_COLS
@@ -218,8 +218,8 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
                  src_hbm,              # (H, (W+WIN_COLS)*3) f32 in ANY/HBM
                  out_ref,              # (1, 3, TILE_ROWS, TILE_COLS) VMEM
                  win_raw,              # scratch (2, R, 3*WIN_COLS) f32
-                 planar,               # scratch (3, R, WIN_COLS) f32
-                 sems,                 # DMA semaphores (2,)
+                 acc,                  # scratch (3, TILE_ROWS, TILE_COLS)
+                 sems,                 # DMA semaphores (2, 2)
                  *, interp: str, win_rows: int, src_w: int, src_h: int,
                  out_w: int, out_h: int, n_tiles_x: int, tiles_per_view: int):
     R = win_rows
@@ -278,55 +278,63 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
         vrelw = jnp.clip(vcl - rm.astype(jnp.float32), 0.0, R - 1.0)
         return rm, cm, urelw, vrelw
 
-    def start_dma(slot, rm, cm):
-        return pltpu.make_async_copy(
-            src_hbm.at[pl.ds(rm, R), pl.ds(cm * 3, 3 * WIN_COLS)],
-            win_raw.at[slot], sems.at[slot])
+    def start_dma(slot, rm, cm, n_chunks):
+        """Split DMA: the first 16 rows always (covers typical tiles), the
+        remainder only when the tile's vertical span needs it."""
+        head = pltpu.make_async_copy(
+            src_hbm.at[pl.ds(rm, 16), pl.ds(cm * 3, 3 * WIN_COLS)],
+            win_raw.at[slot, 0:16], sems.at[slot, 0])
+        head.start()
+        if R > 16:
+            @pl.when(n_chunks > 2)
+            def _():
+                tail = pltpu.make_async_copy(
+                    src_hbm.at[pl.ds(rm + 16, R - 16),
+                               pl.ds(cm * 3, 3 * WIN_COLS)],
+                    win_raw.at[slot, 16:R], sems.at[slot, 1])
+                tail.start()
+
+    def wait_dma(slot, rm, cm, n_chunks):
+        pltpu.make_async_copy(
+            src_hbm.at[pl.ds(rm, 16), pl.ds(cm * 3, 3 * WIN_COLS)],
+            win_raw.at[slot, 0:16], sems.at[slot, 0]).wait()
+        if R > 16:
+            @pl.when(n_chunks > 2)
+            def _():
+                pltpu.make_async_copy(
+                    src_hbm.at[pl.ds(rm + 16, R - 16),
+                               pl.ds(cm * 3, 3 * WIN_COLS)],
+                    win_raw.at[slot, 16:R], sems.at[slot, 1]).wait()
+
+    def chunk_bounds(vrelw):
+        """8-row chunk range [t_lo, t_hi) actually touched by this tile's
+        vertical taps (koff-1 .. +2 for bicubic)."""
+        lo = jnp.floor(jnp.min(vrelw)).astype(jnp.int32) - 1
+        hi = jnp.floor(jnp.max(vrelw)).astype(jnp.int32) + 2
+        t_lo = jnp.clip(lo // 8, 0, R // 8 - 1)
+        t_hi = jnp.clip(hi // 8 + 1, 1, R // 8)
+        return t_lo, t_hi
 
     rm_t, cm_t, urel, vrel = tile_geometry(tile)
+    t_lo, t_hi = chunk_bounds(vrel)
 
     @pl.when(tile == 0)
     def _():
-        start_dma(0, rm_t, cm_t).start()
+        start_dma(0, rm_t, cm_t, t_hi)
 
     @pl.when(tile + 1 < n_tiles)
     def _():
-        rm_n, cm_n, _, _ = tile_geometry(tile + 1)
-        start_dma((tile + 1) % 2, rm_n, cm_n).start()
+        rm_n, cm_n, _, vrel_n = tile_geometry(tile + 1)
+        _tl, th_n = chunk_bounds(vrel_n)
+        start_dma((tile + 1) % 2, rm_n, cm_n, th_n)
 
     slot = tile % 2
-    start_dma(slot, rm_t, cm_t).wait()
+    wait_dma(slot, rm_t, cm_t, t_hi)
 
     if STOP_AFTER == "geom_dma":
         for c in range(3):
-            out_ref[0, c, :, :] = win_raw[slot, 0:8, c*128:(c+1)*128] + urel
-        return
-
-    # ---- de-interleave RGB lanes -> planar scratch (static shuffles) ----
-    # Values are read from scratch REFS one 128-lane block at a time and
-    # dropped immediately: materializing the whole window as a value keeps
-    # ~100 vregs live and sends Mosaic into VMEM spill/fill storms (measured
-    # 100x slowdown).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, TILE_COLS), 1)
-    for c in range(3):
-        for ob in range(N_BLOCKS):
-            # planar[c, :, ob*128 + l] = raw[:, (ob*128 + l)*3 + c]
-            src_lane = (ob * TILE_COLS + lane) * 3 + c
-            blk0 = ob * 3                            # lanes span 3 raw blocks
-            g = None
-            for b in range(blk0, blk0 + 3):
-                raw_blk = win_raw[slot, :, b * TILE_COLS:(b + 1) * TILE_COLS]
-                gb = jnp.take_along_axis(
-                    raw_blk,
-                    jnp.clip(src_lane - b * TILE_COLS, 0, TILE_COLS - 1),
-                    axis=1)
-                gb = jnp.where((src_lane // TILE_COLS) == b, gb, 0.0)
-                g = gb if g is None else g + gb
-            planar[c, :, ob * TILE_COLS:(ob + 1) * TILE_COLS] = g
-
-    if STOP_AFTER == "deint":
-        for c in range(3):
-            out_ref[0, c, :, :] = planar[c, 0:8, 0:128] + urel
+            out_ref[0, c, :, :] = (
+                win_raw[slot, 0:TILE_ROWS, c * 128:(c + 1) * 128] + urel)
         return
 
     x0f = jnp.floor(urel)
@@ -346,48 +354,101 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
         koff = 0
     n_taps = len(hw)
 
-    rows = [[None] * TILE_ROWS for _ in range(3)]
-    for i in range(TILE_ROWS):
-        x0_i = x0[i:i + 1, :]
-        y0_i = y0[i:i + 1, :]
-        hw_i = [w[i:i + 1, :] for w in hw]
-        vw_i = [w[i:i + 1, :] for w in vw]
-        for c in range(3):
-            # horizontal: Ih (R, 128) = sum_k hw_k * planar[c][:, x0+k]
-            ih = None
-            for k in range(n_taps):
-                xi = jnp.clip(x0_i + (k + koff), 0, WIN_COLS - 1)
-                xi_b = jnp.broadcast_to(xi, (R, TILE_COLS))
-                g = None
-                for b in range(N_BLOCKS):
-                    blk = planar[c, :, b * TILE_COLS:(b + 1) * TILE_COLS]
-                    gb = jnp.take_along_axis(
-                        blk, jnp.clip(xi_b - b * TILE_COLS, 0,
-                                      TILE_COLS - 1), axis=1)
-                    gb = jnp.where((xi_b // TILE_COLS) == b, gb, 0.0)
-                    g = gb if g is None else g + gb
-                contrib = g * jnp.broadcast_to(hw_i[k], (R, TILE_COLS))
-                ih = contrib if ih is None else ih + contrib
-            if STOP_AFTER == "hgather":
-                rows[c][i] = ih[0:1, :]
-                continue
-            # vertical: hierarchical single-vreg sublane gathers over ih
-            row_val = None
-            for m in range(n_taps):
-                ym = jnp.clip(y0_i + (m + koff), 0, R - 1)
-                ym8 = jnp.broadcast_to(ym, (8, TILE_COLS))
-                tap_val = None
-                for t in range(R // 8):
-                    blk = ih[t * 8:(t + 1) * 8, :]
-                    g = jnp.take_along_axis(
-                        blk, jnp.clip(ym8 - t * 8, 0, 7), axis=0)[0:1, :]
-                    val = jnp.where((ym // 8) == t, g, 0.0)
-                    tap_val = val if tap_val is None else tap_val + val
-                term = tap_val * vw_i[m]
-                row_val = term if row_val is None else row_val + term
-            rows[c][i] = row_val
+    GROUP = 8   # output rows per batch: keeps accumulator
+                # writes (8,128)-tile aligned (sub-tile RMWs
+                # are masked stores and dominate otherwise)
+    n_groups = TILE_ROWS // GROUP
+
+    # per-group stacked tap indices: (GROUP*8, 128), each output row's index
+    # broadcast over its own 8-sublane band
+    def stack_rows(per_row):
+        return jnp.concatenate(
+            [jnp.broadcast_to(r, (8, TILE_COLS)) for r in per_row], axis=0)
+
+    xi_g = [[stack_rows([jnp.clip(x0[i:i + 1, :] + (k + koff), 0,
+                                  WIN_COLS - 1)
+                         for i in range(g * GROUP, (g + 1) * GROUP)])
+             for k in range(n_taps)] for g in range(n_groups)]
+    ym_all = [jnp.clip(y0[i:i + 1, :] + (m + koff), 0, R - 1)
+              for i in range(TILE_ROWS) for m in range(n_taps)]
+
+    # ---- fused, chunk-skipped, row-batched resample ------------------------
+    # One predicated block per active 8-row window chunk (central tiles
+    # touch 2-3 of R/8). Within a chunk: de-interleave it, then for each
+    # 4-row output group gather all rows' horizontal taps in ONE (32, 128)
+    # lane shuffle per (tap, block) — the stage is op-issue-bound, so
+    # batching rows 4x into each gather is the main lever. Vertical taps
+    # stay single-vreg sublane gathers (hardware limit).
     for c in range(3):
-        out_ref[0, c, :, :] = jnp.concatenate(rows[c], axis=0)
+        acc[c] = jnp.zeros((TILE_ROWS, TILE_COLS), jnp.float32)
+
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_COLS), 1)
+    for tchunk in range(R // 8):
+        @pl.when((tchunk >= t_lo) & (tchunk < t_hi))
+        def _(tchunk=tchunk):
+            r0 = tchunk * 8
+            for c in range(3):
+                # de-interleave this chunk of channel c (planar blocks)
+                chunk4 = []   # each block replicated GROUP times (32, 128)
+                for ob in range(N_BLOCKS):
+                    src_lane = (ob * TILE_COLS + lane8) * 3 + c
+                    blk0 = ob * 3
+                    g = None
+                    for b in range(blk0, blk0 + 3):
+                        raw_blk = win_raw[slot, r0:r0 + 8,
+                                          b * TILE_COLS:(b + 1) * TILE_COLS]
+                        gb = jnp.take_along_axis(
+                            raw_blk,
+                            jnp.clip(src_lane - b * TILE_COLS, 0,
+                                     TILE_COLS - 1), axis=1)
+                        gb = jnp.where((src_lane // TILE_COLS) == b,
+                                       gb, 0.0)
+                        g = gb if g is None else g + gb
+                    chunk4.append(jnp.concatenate([g] * GROUP, axis=0))
+                for gi in range(n_groups):
+                    # horizontal: all GROUP rows' taps in batched gathers
+                    ih = None   # (GROUP*8, 128): row r's band holds its taps
+                    for k in range(n_taps):
+                        xi = xi_g[gi][k]
+                        g = None
+                        for b in range(N_BLOCKS):
+                            gb = jnp.take_along_axis(
+                                chunk4[b],
+                                jnp.clip(xi - b * TILE_COLS, 0,
+                                         TILE_COLS - 1), axis=1)
+                            gb = jnp.where((xi // TILE_COLS) == b, gb, 0.0)
+                            g = gb if g is None else g + gb
+                        hwk = stack_rows(
+                            [hw[k][i:i + 1, :]
+                             for i in range(gi * GROUP, (gi + 1) * GROUP)])
+                        term = g * hwk
+                        ih = term if ih is None else ih + term
+                    # vertical: per output row, single-vreg sublane
+                    # gathers; the group's rows stack into one aligned
+                    # (GROUP, 128) accumulator update
+                    adds = []
+                    for r in range(GROUP):
+                        i = gi * GROUP + r
+                        ih_i = ih[r * 8:(r + 1) * 8, :]
+                        add = None
+                        for m in range(n_taps):
+                            ym = ym_all[i * n_taps + m]
+                            ym8 = jnp.broadcast_to(ym, (8, TILE_COLS))
+                            gv = jnp.take_along_axis(
+                                ih_i, jnp.clip(ym8 - r0, 0, 7),
+                                axis=0)[0:1, :]
+                            gv = jnp.where((ym // 8) == tchunk, gv, 0.0) \
+                                * vw[m][i:i + 1, :]
+                            add = gv if add is None else add + gv
+                        adds.append(add)
+                    band = slice(gi * GROUP, (gi + 1) * GROUP)
+                    acc[c, band, :] = (acc[c, band, :]
+                                       + jnp.concatenate(adds, axis=0))
+
+    for c in range(3):
+        out_ref[0, c, :, :] = acc[c]
+    return
+
 
 
 # --------------------------------------------------------------------------
@@ -431,8 +492,8 @@ def _warp_call(src_rows, view_f32, *, width, height, src_w, src_h,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, win_rows, 3 * WIN_COLS), jnp.float32),
-            pltpu.VMEM((3, win_rows, WIN_COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, TILE_ROWS, TILE_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
