@@ -215,6 +215,127 @@ class PerspCutTab(ToolTab):
                                     font=("sans", 10, "bold"))
 
 
+class FrameSelectorTab(ToolTab):
+    """FrameSelector tab with the score-review chart (reference
+    ``gs360_GUI.py:15809-17790``): load a selection CSV, navigate the
+    per-frame score bars, toggle keep/drop, save, and apply."""
+
+    def _build(self):
+        super()._build()
+        from gs360x.gui import scorereview  # headless logic
+
+        self.scorereview = scorereview
+        self.session = None
+        self.csv_path = None
+        bar = ttk.Frame(self)
+        bar.pack(side="top", fill="x", padx=8)
+        ttk.Button(bar, text="Review CSV…",
+                   command=self.load_csv).pack(side="left")
+        ttk.Button(bar, text="Save CSV",
+                   command=self.save_csv).pack(side="left", padx=4)
+        ttk.Button(bar, text="Apply (move rejects)",
+                   command=self.apply_csv).pack(side="left", padx=4)
+        self.logscale_var = tk.BooleanVar(value=False)
+        ttk.Checkbutton(bar, text="log scale", variable=self.logscale_var,
+                        command=self.redraw).pack(side="left", padx=8)
+        self.status = ttk.Label(bar, text="no CSV loaded")
+        self.status.pack(side="left", padx=8)
+        self.chart = tk.Canvas(self, height=220, bg="#181818",
+                               highlightthickness=0)
+        self.chart.pack(side="top", fill="x", padx=8, pady=4)
+        self._chart_photo = None
+        for key, fn in (("<Left>", lambda e: self.nav(-1)),
+                        ("<Right>", lambda e: self.nav(+1)),
+                        ("<space>", lambda e: self.toggle()),
+                        ("<s>", lambda e: self.suspect(False)),
+                        ("<S>", lambda e: self.suspect(True)),
+                        ("<plus>", lambda e: self.zoom(0.5)),
+                        ("<minus>", lambda e: self.zoom(2.0))):
+            self.chart.bind(key, fn)
+        self.chart.bind("<Button-1>", self.click)
+
+    def load_csv(self):
+        path = filedialog.askopenfilename(
+            filetypes=[("CSV", "*.csv"), ("All", "*")])
+        if not path:
+            return
+        try:
+            self.session = self.scorereview.ReviewSession.load(path)
+        except (OSError, ValueError) as exc:
+            self.append_log(f"[ERR] {exc}\n")
+            return
+        self.csv_path = path
+        self.chart.focus_set()
+        self.redraw()
+
+    def save_csv(self):
+        if self.session and self.csv_path:
+            self.session.save(self.csv_path)
+            self.append_log(f"[OK] saved {self.csv_path}\n")
+
+    def apply_csv(self):
+        if not (self.session and self.csv_path):
+            return
+        self.save_csv()
+        in_dir = str(self.values().get("in_dir") or
+                     pathlib.Path(self.csv_path).parent)
+        argv = tool_argv("frameselector",
+                         self.scorereview.apply_argv(self.csv_path, in_dir))
+        self.append_log("$ " + " ".join(argv) + "\n")
+        self.app.runner.run(self.module, argv, self.append_log)
+
+    def nav(self, delta):
+        if self.session:
+            self.session.move(delta)
+            self.redraw()
+
+    def toggle(self):
+        if self.session:
+            self.session.toggle()
+            self.redraw()
+
+    def suspect(self, backwards):
+        if self.session:
+            self.session.next_suspect(backwards)
+            self.redraw()
+
+    def zoom(self, factor):
+        if self.session:
+            self.session.zoom(factor)
+            self.redraw()
+
+    def click(self, event):
+        self.chart.focus_set()
+        if not self.session:
+            return
+        n = self.session.view_count
+        w = max(int(self.chart.winfo_width()), 1)
+        k = int((event.x - 18) / max(w - 36, 1) * n)
+        self.session.cursor = int(min(max(self.session.view_start + k,
+                                          0), len(self.session.entries) - 1))
+        self.redraw()
+
+    def redraw(self):
+        if not self.session:
+            return
+        self.session.log_scale = bool(self.logscale_var.get())
+        w = max(int(self.chart.winfo_width()), 480)
+        h = max(int(self.chart.winfo_height()), 160)
+        img = self.scorereview.render_chart(self.session, w, h)
+        try:
+            from PIL import Image, ImageTk
+
+            self._chart_photo = ImageTk.PhotoImage(Image.fromarray(img))
+            self.chart.delete("all")
+            self.chart.create_image(0, 0, image=self._chart_photo,
+                                    anchor="nw")
+        except Exception:
+            pass
+        self.status.configure(
+            text=self.scorereview.summary_line(self.session) + "  " +
+            self.scorereview.zoom_label(self.session))
+
+
 class App:
     def __init__(self, root: tk.Tk, settings_path=None):
         self.root = root
@@ -228,7 +349,8 @@ class App:
         notebook.pack(fill="both", expand=True)
         self.tabs = []
         for title, module, fields, build in forms.TABS:
-            cls = PerspCutTab if module == "perspcut" else ToolTab
+            cls = {"perspcut": PerspCutTab,
+                   "frameselector": FrameSelectorTab}.get(module, ToolTab)
             tab = cls(notebook, self, title, module, fields, build)
             notebook.add(tab, text=title)
             self.tabs.append(tab)
