@@ -16,7 +16,9 @@ cancellation, and resume semantics mirror the reference:
 
 from __future__ import annotations
 
+import functools
 import pathlib
+import queue as queuelib
 import sys
 import threading
 import time
@@ -77,8 +79,59 @@ class ProgressPrinter:
             self.stream.flush()
 
 
+class _Prefetcher:
+    """Background decode thread: overlaps host decode/IO of item N+1 with
+    device work on item N (the reference gets this overlap for free from
+    its per-frame ffmpeg processes; here decode and warp share one
+    process, so the overlap is explicit)."""
+
+    _DONE = object()
+
+    def __init__(self, iterator, stop_event, depth: int = 2):
+        self._q: "queuelib.Queue" = queuelib.Queue(maxsize=depth)
+        self._stop = stop_event
+        self._thread = threading.Thread(
+            target=self._pump, args=(iterator,), daemon=True)
+        self._thread.start()
+
+    def _pump(self, iterator):
+        try:
+            for item in iterator:
+                while True:
+                    if self._stop.is_set():
+                        return
+                    try:
+                        self._q.put(item, timeout=0.25)
+                        break
+                    except queuelib.Full:
+                        continue
+            self._q.put(self._DONE)
+        except Exception as exc:  # surfaced on the consumer side
+            self._q.put(exc)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def _quantize_device(arr, bit_depth: int):
+    """Round float [0,1] to uint8/uint16 on device: device→host output
+    transfers shrink 4x (2x for 16-bit) — the pipeline's dominant
+    transfer is the warped views, ~15x the source pixel count."""
+    scale = 65535.0 if bit_depth > 8 else 255.0
+    dt = jnp.uint16 if bit_depth > 8 else jnp.uint8
+    return jnp.rint(jnp.clip(arr, 0.0, 1.0) * scale).astype(dt)
+
+
 def _warp_frame_views(frame: np.ndarray, views, *, interp: str,
-                      backend: str, keep_rec709: Optional[bool] = None):
+                      backend: str, keep_rec709: Optional[bool] = None,
+                      quantize_bits: Optional[int] = None):
     """Warp one decoded frame through all plan views.
 
     Returns [(array, planar_bool), ...] in view order. The pallas fast path
@@ -105,12 +158,14 @@ def _warp_frame_views(frame: np.ndarray, views, *, interp: str,
         groups.setdefault(key, []).append(i)
 
     def color(arr, planar):
-        if keep_rec709 is None:
-            return arr
-        if planar:
-            return colorlib2.video_color_move_planar(
-                arr, keep_rec709=keep_rec709)
-        return colorlib2.video_color_move(arr, keep_rec709=keep_rec709)
+        if keep_rec709 is not None:
+            arr = (colorlib2.video_color_move_planar(
+                arr, keep_rec709=keep_rec709) if planar
+                else colorlib2.video_color_move(arr,
+                                                keep_rec709=keep_rec709))
+        if quantize_bits is not None:
+            arr = _quantize_device(arr, quantize_bits)
+        return arr
 
     for (projection, vw, vh, hfov, vfov), idxs in groups.items():
         yaws = np.array([views[i].yaw_deg for i in idxs], np.float64)
@@ -197,38 +252,61 @@ def _run_images(plan, writer, report, stop_event, tick, backend, interp,
         by_source.setdefault(job.source, []).append(job)
 
     done = 0
+    work = []  # (source, jobs-to-run) after the overwrite guard
     for source, jobs in by_source.items():
-        if stop_event.is_set():
-            return
-        pending = []
+        todo = []
         for job in jobs:
             out_path = plan.out_dir / job.output_name
             if not overwrite and out_path.exists():
                 report.skipped += 1
                 done += 1
             else:
-                pending.append(job)
-        if not pending:
-            tick(done, report.total)
-            continue
-        try:
-            src = imagelib.read_image(source)
-        except Exception as exc:
-            report.failed += len(pending)
-            report.errors.append(f"{source.name}: {exc}")
-            done += len(pending)
-            tick(done, report.total)
-            continue
-        outs = _warp_frame_views(src, [j.view for j in pending],
-                                 interp=interp, backend=backend)
-        for job, (out, planar) in zip(pending, outs):
+                todo.append(job)
+        if todo:
+            work.append((source, todo))
+    tick(done, report.total)
+
+    def decode(items):
+        for source, jobs in items:
+            try:
+                yield source, jobs, imagelib.read_image(source), None
+            except Exception as exc:
+                yield source, jobs, None, exc
+
+    inflight = None  # (jobs, outs) warped on device, not yet fetched
+
+    def drain(entry):
+        nonlocal done
+        jobs, outs = entry
+        for job, (out, planar) in zip(jobs, outs):
             arr = np.asarray(jax.device_get(out))
-            img = imagelib.from_float01(arr, 16 if plan.bit_depth > 8 else 8)
+            img = arr if arr.dtype != np.float32 else \
+                imagelib.from_float01(arr, 16 if plan.bit_depth > 8 else 8)
             writer.submit(plan.out_dir / job.output_name, img,
                           jpeg_quality=jpeg_quality, planar=planar)
             report.ok += 1
             done += 1
             tick(done, report.total)
+
+    # software pipeline: decode N+1 (thread) || warp N+1 (device queue)
+    # || fetch+encode N (here + writer pool)
+    for source, jobs, src, exc in _Prefetcher(decode(work), stop_event):
+        if stop_event.is_set():
+            return
+        if exc is not None:
+            report.failed += len(jobs)
+            report.errors.append(f"{source.name}: {exc}")
+            done += len(jobs)
+            tick(done, report.total)
+            continue
+        outs = _warp_frame_views(
+            src, [j.view for j in jobs], interp=interp, backend=backend,
+            quantize_bits=16 if plan.bit_depth > 8 else 8)
+        if inflight is not None:
+            drain(inflight)
+        inflight = (jobs, outs)
+    if inflight is not None and not stop_event.is_set():
+        drain(inflight)
 
 
 def _run_video(plan, writer, report, stop_event, tick, backend, interp,
@@ -251,13 +329,11 @@ def _run_video(plan, writer, report, stop_event, tick, backend, interp,
     frame_iter = videolib.iter_frames(source, fps=plan.fps, start=plan.start_time,
                                       end=plan.end_time)
     done = 0
-    for idx, _t, rgb in frame_iter:
-        if stop_event.is_set():
-            return
-        # video color chain (Rec709 -> SMPTE170M [+ sRGB trc]) fused into
-        # the warp call (applied on the warped planar outputs)
-        outs = _warp_frame_views(rgb, views, interp=interp, backend=backend,
-                                 keep_rec709=plan.keep_rec709)
+    pending = None  # (idx, outs) warped on device, not yet fetched
+
+    def drain(entry):
+        nonlocal done
+        idx, outs = entry
         for pattern, (out, planar) in zip(name_patterns, outs):
             name = pattern.replace("%07d", f"{idx:07d}")
             out_path = plan.out_dir / name
@@ -265,11 +341,29 @@ def _run_video(plan, writer, report, stop_event, tick, backend, interp,
                 report.skipped += 1
             else:
                 arr = np.asarray(jax.device_get(out))
-                img = imagelib.from_float01(arr, 16 if plan.bit_depth > 8 else 8)
+                img = arr if arr.dtype != np.float32 else \
+                    imagelib.from_float01(arr, 16 if plan.bit_depth > 8 else 8)
                 writer.submit(out_path, img, jpeg_quality=jpeg_quality,
                               planar=planar)
                 report.ok += 1
             done += 1
             if total_est:
                 tick(done, total_est)
+
+    # software pipeline: decode N+1 (thread) || warp N+1 (device queue)
+    # || fetch+encode N (here + writer pool)
+    for idx, _t, rgb in _Prefetcher(frame_iter, stop_event):
+        if stop_event.is_set():
+            return
+        # video color chain (Rec709 -> SMPTE170M [+ sRGB trc]) fused into
+        # the warp call (applied on the warped planar outputs)
+        outs = _warp_frame_views(rgb, views, interp=interp, backend=backend,
+                                 keep_rec709=plan.keep_rec709,
+                                 quantize_bits=16 if plan.bit_depth > 8
+                                 else 8)
+        if pending is not None:
+            drain(pending)
+        pending = (idx, outs)
+    if pending is not None and not stop_event.is_set():
+        drain(pending)
     report.total = done
