@@ -34,6 +34,7 @@ from gs360x.io import image as imagelib
 from gs360x.io import video as videolib
 from gs360x.kernels import warp as warplib
 from gs360x.rig.spec import RenderPlan
+from gs360x.runtime.profiling import StageTimers, maybe_trace
 
 PROGRESS_INTERVAL = 5
 
@@ -46,6 +47,7 @@ class ExecutionReport:
     total: int = 0
     seconds: float = 0.0
     errors: List[str] = field(default_factory=list)
+    stage_seconds: Dict[str, float] = field(default_factory=dict)
 
     @property
     def stopped(self) -> bool:
@@ -214,7 +216,8 @@ def run_plan(plan: RenderPlan, *,
              writer_workers: int = 8,
              stop_event: Optional[threading.Event] = None,
              progress: Optional[Callable[[int, int], None]] = None,
-             quiet: bool = False) -> ExecutionReport:
+             quiet: bool = False,
+             stats: bool = False) -> ExecutionReport:
     """Execute a RenderPlan (image-dir or video mode) on the default device."""
     t0 = time.time()
     stop_event = stop_event or threading.Event()
@@ -232,21 +235,26 @@ def run_plan(plan: RenderPlan, *,
     jpeg_quality = 95 if plan.jpeg_quality_95 else None
     interp = plan.interpolation
 
-    with imagelib.AsyncImageWriter(workers=writer_workers) as writer:
+    timers = StageTimers()
+    with maybe_trace("run_plan"), \
+            imagelib.AsyncImageWriter(workers=writer_workers) as writer:
         if plan.video_mode:
             _run_video(plan, writer, report, stop_event, tick, backend,
-                       interp, jpeg_quality, overwrite)
+                       interp, jpeg_quality, overwrite, timers)
         else:
             _run_images(plan, writer, report, stop_event, tick, backend,
-                        interp, jpeg_quality, overwrite)
+                        interp, jpeg_quality, overwrite, timers)
     if printer:
         printer.finish()
     report.seconds = time.time() - t0
+    report.stage_seconds = dict(timers.totals)
+    if stats and not quiet:
+        print(f"[STATS] {timers.report()} | wall {report.seconds:.2f}s")
     return report
 
 
 def _run_images(plan, writer, report, stop_event, tick, backend, interp,
-                jpeg_quality, overwrite) -> None:
+                jpeg_quality, overwrite, timers) -> None:
     by_source: Dict[pathlib.Path, List] = {}
     for job in plan.jobs:
         by_source.setdefault(job.source, []).append(job)
@@ -269,9 +277,12 @@ def _run_images(plan, writer, report, stop_event, tick, backend, interp,
     def decode(items):
         for source, jobs in items:
             try:
-                yield source, jobs, imagelib.read_image(source), None
+                with timers.stage("decode"):
+                    img = imagelib.read_image(source)
             except Exception as exc:
                 yield source, jobs, None, exc
+                continue
+            yield source, jobs, img, None
 
     inflight = None  # (jobs, outs) warped on device, not yet fetched
 
@@ -279,7 +290,8 @@ def _run_images(plan, writer, report, stop_event, tick, backend, interp,
         nonlocal done
         jobs, outs = entry
         for job, (out, planar) in zip(jobs, outs):
-            arr = np.asarray(jax.device_get(out))
+            with timers.stage("fetch"):
+                arr = np.asarray(jax.device_get(out))
             img = arr if arr.dtype != np.float32 else \
                 imagelib.from_float01(arr, 16 if plan.bit_depth > 8 else 8)
             writer.submit(plan.out_dir / job.output_name, img,
@@ -299,9 +311,10 @@ def _run_images(plan, writer, report, stop_event, tick, backend, interp,
             done += len(jobs)
             tick(done, report.total)
             continue
-        outs = _warp_frame_views(
-            src, [j.view for j in jobs], interp=interp, backend=backend,
-            quantize_bits=16 if plan.bit_depth > 8 else 8)
+        with timers.stage("warp_dispatch"):
+            outs = _warp_frame_views(
+                src, [j.view for j in jobs], interp=interp, backend=backend,
+                quantize_bits=16 if plan.bit_depth > 8 else 8)
         if inflight is not None:
             drain(inflight)
         inflight = (jobs, outs)
@@ -310,7 +323,7 @@ def _run_images(plan, writer, report, stop_event, tick, backend, interp,
 
 
 def _run_video(plan, writer, report, stop_event, tick, backend, interp,
-               jpeg_quality, overwrite) -> None:
+               jpeg_quality, overwrite, timers) -> None:
     source = plan.jobs[0].source
     views = plan.unique_views()
     name_patterns = [plan.jobs[i].output_name for i in range(len(views))]
@@ -340,7 +353,8 @@ def _run_video(plan, writer, report, stop_event, tick, backend, interp,
             if not overwrite and out_path.exists():
                 report.skipped += 1
             else:
-                arr = np.asarray(jax.device_get(out))
+                with timers.stage("fetch"):
+                    arr = np.asarray(jax.device_get(out))
                 img = arr if arr.dtype != np.float32 else \
                     imagelib.from_float01(arr, 16 if plan.bit_depth > 8 else 8)
                 writer.submit(out_path, img, jpeg_quality=jpeg_quality,
@@ -352,15 +366,18 @@ def _run_video(plan, writer, report, stop_event, tick, backend, interp,
 
     # software pipeline: decode N+1 (thread) || warp N+1 (device queue)
     # || fetch+encode N (here + writer pool)
-    for idx, _t, rgb in _Prefetcher(frame_iter, stop_event):
+    for idx, _t, rgb in _Prefetcher(
+            timers.wrap_iter("decode", frame_iter), stop_event):
         if stop_event.is_set():
             return
         # video color chain (Rec709 -> SMPTE170M [+ sRGB trc]) fused into
         # the warp call (applied on the warped planar outputs)
-        outs = _warp_frame_views(rgb, views, interp=interp, backend=backend,
-                                 keep_rec709=plan.keep_rec709,
-                                 quantize_bits=16 if plan.bit_depth > 8
-                                 else 8)
+        with timers.stage("warp_dispatch"):
+            outs = _warp_frame_views(rgb, views, interp=interp,
+                                     backend=backend,
+                                     keep_rec709=plan.keep_rec709,
+                                     quantize_bits=16 if plan.bit_depth > 8
+                                     else 8)
         if pending is not None:
             drain(pending)
         pending = (idx, outs)

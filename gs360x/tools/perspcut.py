@@ -102,6 +102,9 @@ def create_arg_parser() -> argparse.ArgumentParser:
                     default="auto",
                     help="Warp kernel backend (auto = pallas fast path with "
                          "transparent XLA fallback)")
+    ap.add_argument("--stats", action="store_true",
+                    help="Print per-stage pipeline timers "
+                         "(decode/warp/fetch) after the run.")
     ap.add_argument("--no-overwrite", action="store_true",
                     help="Skip outputs that already exist (resume)")
     return ap
@@ -217,7 +220,8 @@ def main(argv=None) -> int:
     from gs360x.runtime.executor import run_plan
     report = run_plan(plan, backend=args.backend,
                       overwrite=not args.no_overwrite,
-                      writer_workers=workers, stop_event=stop_event)
+                      writer_workers=workers, stop_event=stop_event,
+                      stats=args.stats)
 
     if stop_event.is_set():
         print(f"[STOPPED] Interrupted: success={report.ok}, "
