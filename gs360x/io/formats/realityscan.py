@@ -277,7 +277,7 @@ def points_to_rs_vertices(points):
     return xyz.astype(np.float32), rgb
 
 
-def rs_vertices_to_points(xyz, rgb, point_id_start: int = 1):
+def rs_vertices_to_points(xyz, rgb, point_id_start: int = 0):
     from gs360x.io.formats.model import Point3
 
     out = []
@@ -296,7 +296,7 @@ def points_to_transforms_ply_vertices(points):
     return xyz, rgb
 
 
-def transforms_ply_vertices_to_points(xyz, rgb, point_id_start: int = 1):
+def transforms_ply_vertices_to_points(xyz, rgb, point_id_start: int = 0):
     from gs360x.io.formats.model import Point3
 
     return [Point3(id=point_id_start + i, x=float(v[0]), y=-float(v[1]),

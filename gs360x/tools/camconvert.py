@@ -57,20 +57,37 @@ def _add_common_args(p, *, allow_ply_input=True):
 
 
 def _add_export_args(p):
+    # reference spellings first, short forms kept as aliases
+    # (gs360_CameraFormatConverter.py:1883-1996)
     p.add_argument("--export-colmap", action="store_true")
-    p.add_argument("--export-csv", action="store_true")
-    p.add_argument("--export-ply", action="store_true")
-    p.add_argument("--export-transforms", action="store_true")
+    p.add_argument("--export-realityscan-csv", "--export-csv",
+                   dest="export_csv", action="store_true")
+    p.add_argument("--export-realityscan-ply", "--export-ply",
+                   dest="export_ply", action="store_true")
+    p.add_argument("--export-transforms-json", "--export-transforms",
+                   dest="export_transforms", action="store_true")
     p.add_argument("--export-transforms-ply", action="store_true")
-    p.add_argument("--export-xmp", action="store_true")
+    p.add_argument("--export-realityscan-xmp", "--export-xmp",
+                   dest="export_xmp", action="store_true")
     p.add_argument("--export-metashape-xml", action="store_true")
-    p.add_argument("--csv-name", default="Align_RS_PerspCams.csv")
-    p.add_argument("--ply-name", default="Align_RS_PerspCams.ply")
-    p.add_argument("--transforms-name", default="transforms.json")
-    p.add_argument("--transforms-ply-name",
+    p.add_argument("--realityscan-csv-file", "--csv-name", dest="csv_name",
+                   default="Align_RS_PerspCams.csv")
+    p.add_argument("--realityscan-ply-file", "--ply-name", dest="ply_name",
+                   default="Align_RS_PerspCams.ply")
+    p.add_argument("--transforms-json-file", "--transforms-name",
+                   dest="transforms_name", default="transforms.json")
+    p.add_argument("--transforms-ply-file", "--transforms-ply-name",
+                   dest="transforms_ply_name",
                    default="pointcloud_for_transforms.ply")
-    p.add_argument("--xmp-dir-name", default="cameras_RealityScan")
-    p.add_argument("--metashape-xml-name", default="perspective_cams.xml")
+    p.add_argument("--realityscan-xmp-output-dir",
+                   "--realityscan-xmp-dir-name", "--xmp-dir-name",
+                   dest="xmp_dir_name", default="cameras_RealityScan")
+    p.add_argument("--metashape-xml-file", "--metashape-xml-name",
+                   dest="metashape_xml_name",
+                   default="perspective_cams.xml")
+    p.add_argument("--point-id-start", type=int, default=0,
+                   help="First POINT3D id for imported cloud vertices "
+                        "(reference :1820)")
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
@@ -130,14 +147,16 @@ def _load_ply_points(args, model):
     """Attach point cloud inputs to the model (RS-axis or transforms-axis)."""
     from gs360x.io import ply as plyio
 
+    pid0 = int(getattr(args, "point_id_start", 0))
     ply_path = getattr(args, "ply", None)
     if ply_path:
         xyz, rgb = plyio.load_ply_xyz_rgb(ply_path)
-        model.points = realityscan.rs_vertices_to_points(xyz, rgb)
+        model.points = realityscan.rs_vertices_to_points(xyz, rgb, pid0)
     tf_ply = getattr(args, "transforms_ply", None)
     if tf_ply:
         xyz, rgb = plyio.load_ply_xyz_rgb(tf_ply)
-        model.points = realityscan.transforms_ply_vertices_to_points(xyz, rgb)
+        model.points = realityscan.transforms_ply_vertices_to_points(
+            xyz, rgb, pid0)
 
 
 def build_model(args):

@@ -428,19 +428,28 @@ def create_arg_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         description=("Dual-fisheye pipeline: Metashape calibration XML -> "
                      "undistortion and direct perspective export."))
-    ap.add_argument("--input-dir", default=None,
+    ap.add_argument("-i", "--input-dir", default=None,
                     help="Folder of _X/_Y fisheye pairs")
     ap.add_argument("--metadata-only", action="store_true",
                     help="Export metadata without processing pixels")
-    ap.add_argument("--camera-xml", required=True,
-                    help="Metashape calibration XML (fisheye sensors)")
-    ap.add_argument("--output-dir", default=None)
+    ap.add_argument("-x", "--camera-xml", default=None,
+                    help="Metashape calibration XML (fisheye sensors); "
+                         "defaults to the generated Osmo 360 starter "
+                         "calibration (reference ships a template XML, "
+                         "gs360_DualFisheyeDistortionCalibration.py:51-53)")
+    ap.add_argument("-o", "--output-dir", default=None)
     ap.add_argument("--suffixes", default="_X,_Y")
     ap.add_argument("--ext", default="jpg,jpeg,png,tif,tiff")
     ap.add_argument("--input-lut", default=None,
                     help=".cube 3D LUT applied on load (D-Log M decode)")
-    ap.add_argument("--lut-output-color-space", choices=("srgb", "rec709"),
+    ap.add_argument("--lut-output-color-space",
+                    choices=("srgb", "rec709", "passthrough"),
                     default="srgb")
+    # hidden legacy aliases (reference :209-219, :2089-2104)
+    ap.add_argument("--input-color-profile",
+                    choices=("native", "osmo360-dlogm"), default="native",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--dlogm-lut", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--sensor-id-x", default="0")
     ap.add_argument("--sensor-id-y", default="1")
     ap.add_argument("--interpolation", choices=("nearest", "linear", "cubic"),
@@ -559,7 +568,24 @@ def main(argv=None) -> int:
     interp = {"nearest": "nearest", "linear": "bilinear",
               "cubic": "catmull-rom"}[args.interpolation]
 
-    xml_path = pathlib.Path(args.camera_xml).expanduser().resolve()
+    # legacy profile -> LUT mapping (reference :2089-2104)
+    if args.input_color_profile == "osmo360-dlogm" and not args.input_lut:
+        if not args.dlogm_lut:
+            print("[ERR] --input-color-profile osmo360-dlogm requires "
+                  "--dlogm-lut (the D-Log M .cube is user-supplied)",
+                  file=sys.stderr)
+            return 2
+        args.input_lut = args.dlogm_lut
+
+
+    if args.camera_xml:
+        xml_path = pathlib.Path(args.camera_xml).expanduser().resolve()
+    else:
+        from gs360x.templates import default_osmo360_calibration_path
+
+        xml_path = default_osmo360_calibration_path()
+        print(f"[INFO] using generated Osmo 360 starter calibration: "
+              f"{xml_path}")
     if not xml_path.is_file():
         print(f"[ERR] calibration XML not found: {xml_path}", file=sys.stderr)
         return 1

@@ -288,6 +288,51 @@ class TestCamconvertCli:
         for a, b in zip(model.images, back.images):
             np.testing.assert_allclose(b.center, rot @ a.center, atol=1e-6)
 
+    def test_reference_flag_spellings(self, tmp_path):
+        """The reference's long flag names are accepted as aliases
+        (gs360_CameraFormatConverter.py:1883-1996)."""
+        from gs360x.io import ply as plyio
+        from gs360x.tools import camconvert
+
+        src = tmp_path / "cm"
+        colmap_text.write_model(src, sample_model())
+        out = tmp_path / "o"
+        rc = camconvert.main([
+            "colmap", str(src), "-o", str(out),
+            "--export-realityscan-csv", "--export-transforms-json",
+            "--export-realityscan-xmp",
+            "--realityscan-csv-file", "MyCams.csv",
+            "--transforms-json-file", "tf.json",
+            "--realityscan-xmp-output-dir", "xmps"])
+        assert rc == 0
+        assert (out / "MyCams.csv").exists()
+        assert (out / "tf.json").exists()
+        assert (out / "xmps").is_dir()
+        assert not (out / "Align_RS_PerspCams.ply").exists()
+
+    def test_point_id_start(self, tmp_path):
+        from gs360x.io import ply as plyio
+        from gs360x.tools import camconvert
+
+        src = tmp_path / "cm"
+        colmap_text.write_model(src, sample_model())
+        out1 = tmp_path / "o1"
+        camconvert.main(["colmap", str(src), "-o", str(out1),
+                         "--export-csv"])
+        cloud = tmp_path / "cloud.ply"
+        plyio.save_ply_xyz_rgb(cloud, np.zeros((3, 3), np.float32),
+                               np.full((3, 3), 7, np.uint8))
+        out2 = tmp_path / "o2"
+        rc = camconvert.main([
+            "realityscan-csv", "--csv",
+            str(out1 / "Align_RS_PerspCams.csv"),
+            "--width", "1600", "--height", "1600", "-o", str(out2),
+            "--realityscan-ply", str(cloud), "--export-colmap",
+            "--point-id-start", "500"])
+        assert rc == 0
+        back = colmap_text.read_model(out2 / "colmap")
+        assert [pt.id for pt in back.points] == [500, 501, 502]
+
     def test_missing_input_errors(self, tmp_path, capsys):
         from gs360x.tools import camconvert
 
