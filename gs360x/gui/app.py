@@ -336,6 +336,232 @@ class FrameSelectorTab(ToolTab):
             self.scorereview.zoom_label(self.session))
 
 
+class _ViewerMixin:
+    """Shared orbit-viewer canvas behavior for the PLY / scene tabs:
+    render via :mod:`gs360x.gui.plyview` (pure numpy), drag to orbit,
+    wheel to zoom, right-drag to pan (reference ``gs360_GUI.py:
+    13614-13762``)."""
+
+    def _init_viewer(self, height=340):
+        from gs360x.gui import plyview
+
+        self.plyview = plyview
+        self.camera = plyview.OrbitCamera()
+        self.viewer = tk.Canvas(self, height=height, bg="#101014",
+                                highlightthickness=0)
+        self.viewer.pack(side="top", fill="both", expand=True, padx=8,
+                         pady=4)
+        self._viewer_photo = None
+        self._drag = None
+        self.viewer.bind("<ButtonPress-1>", self._drag_start)
+        self.viewer.bind("<B1-Motion>", lambda e: self._drag_move(e, "orbit"))
+        self.viewer.bind("<ButtonPress-3>", self._drag_start)
+        self.viewer.bind("<B3-Motion>", lambda e: self._drag_move(e, "pan"))
+        self.viewer.bind("<ButtonRelease-1>", self._drag_end)
+        self.viewer.bind("<ButtonRelease-3>", self._drag_end)
+        self.viewer.bind("<MouseWheel>", self._wheel)
+        self.viewer.bind("<Button-4>", lambda e: self._zoom(1 / 1.15))
+        self.viewer.bind("<Button-5>", lambda e: self._zoom(1.15))
+        self.xyz = None
+        self.rgb = None
+        self.segments = None
+
+    def _drag_start(self, event):
+        self._drag = (event.x, event.y)
+
+    def _drag_end(self, _event):
+        self._drag = None
+        self.redraw_viewer(interactive=False)
+
+    def _drag_move(self, event, mode):
+        if self._drag is None:
+            self._drag = (event.x, event.y)
+            return
+        dx = event.x - self._drag[0]
+        dy = event.y - self._drag[1]
+        self._drag = (event.x, event.y)
+        if mode == "orbit":
+            self.camera.orbit(-dx * 0.4, -dy * 0.4)
+        else:
+            s = self.camera.distance * 0.002
+            self.camera.pan(-dx * s, dy * s)
+        self.redraw_viewer(interactive=True)
+
+    def _wheel(self, event):
+        self._zoom(1.15 if event.delta < 0 else 1 / 1.15)
+
+    def _zoom(self, factor):
+        self.camera.zoom(factor)
+        self.redraw_viewer(interactive=False)
+
+    def redraw_viewer(self, interactive=False):
+        if self.xyz is None:
+            return
+        w = max(int(self.viewer.winfo_width()), 480)
+        h = max(int(self.viewer.winfo_height()), 240)
+        budget = (self.plyview.INTERACTIVE_POINT_BUDGET if interactive
+                  else self.plyview.STATIC_POINT_BUDGET)
+        img = self.plyview.render_points(
+            self.xyz, self.rgb, self.camera, w, h,
+            point_budget=budget, segments=self.segments)
+        try:
+            from PIL import Image, ImageTk
+
+            self._viewer_photo = ImageTk.PhotoImage(Image.fromarray(img))
+            self.viewer.delete("all")
+            self.viewer.create_image(0, 0, image=self._viewer_photo,
+                                     anchor="nw")
+        except Exception:
+            pass
+
+    def _set_cloud(self, xyz, rgb, *, fit=True):
+        import numpy as np
+
+        self.xyz = np.asarray(xyz, np.float64)
+        self.rgb = np.asarray(rgb, np.uint8)
+        if fit and len(self.xyz):
+            self.camera.fit(self.xyz)
+        self.redraw_viewer()
+
+
+class PlyOptTab(ToolTab, _ViewerMixin):
+    """PointCloudOptimizer tab: CLI form + interactive viewer with the
+    reference's in-viewer edits (sky dome, remove-by-color, bbox fill,
+    save — ``gs360_GUI.py:12392-13428``)."""
+
+    def _build(self):
+        super()._build()
+        bar = ttk.Frame(self)
+        bar.pack(side="top", fill="x", padx=8)
+        ttk.Button(bar, text="Open PLY…",
+                   command=self.open_ply).pack(side="left")
+        ttk.Button(bar, text="Save PLY…",
+                   command=self.save_ply).pack(side="left", padx=4)
+        ttk.Button(bar, text="Add sky dome",
+                   command=self.add_sky).pack(side="left", padx=4)
+        ttk.Button(bar, text="Remove color",
+                   command=self.remove_color).pack(side="left", padx=4)
+        self.color_var = tk.StringVar(value="135,206,250")
+        ttk.Entry(bar, textvariable=self.color_var,
+                  width=12).pack(side="left")
+        self.tol_var = tk.StringVar(value="30")
+        ttk.Entry(bar, textvariable=self.tol_var, width=5).pack(side="left")
+        self.viewer_status = ttk.Label(bar, text="")
+        self.viewer_status.pack(side="left", padx=8)
+        self._init_viewer()
+
+    def open_ply(self):
+        from gs360x.io import ply as plyio
+
+        path = filedialog.askopenfilename(
+            filetypes=[("PLY", "*.ply"), ("All", "*")])
+        if not path:
+            return
+        try:
+            xyz, rgb = plyio.load_ply_xyz_rgb(path)
+        except (OSError, ValueError) as exc:
+            self.append_log(f"[ERR] {exc}\n")
+            return
+        self._set_cloud(xyz, rgb)
+        self._status(f"{len(self.xyz):,} pts — {path}")
+
+    def save_ply(self):
+        from gs360x.io import ply as plyio
+
+        if self.xyz is None:
+            return
+        path = filedialog.asksaveasfilename(defaultextension=".ply")
+        if path:
+            plyio.save_ply_xyz_rgb(path, self.xyz, self.rgb)
+            self.append_log(f"[OK] saved {path}\n")
+
+    def add_sky(self):
+        from gs360x.gui import pointedit
+
+        if self.xyz is None:
+            return
+        self.xyz, self.rgb = pointedit.add_sky_dome(self.xyz, self.rgb)
+        self._set_cloud(self.xyz, self.rgb, fit=False)
+        self._status(f"{len(self.xyz):,} pts (sky dome added)")
+
+    def remove_color(self):
+        from gs360x.gui import pointedit
+
+        if self.xyz is None:
+            return
+        try:
+            color = tuple(int(v) for v in
+                          self.color_var.get().split(","))
+            tol = float(self.tol_var.get())
+        except ValueError:
+            self.append_log("[ERR] color must be R,G,B\n")
+            return
+        self.xyz, self.rgb, removed = pointedit.remove_points_by_color(
+            self.xyz, self.rgb, color, tol)
+        self._set_cloud(self.xyz, self.rgb, fit=False)
+        self._status(f"{len(self.xyz):,} pts ({removed:,} removed)")
+
+    def _status(self, text):
+        self.viewer_status.configure(text=text)
+
+
+class SceneViewerTab(ToolTab, _ViewerMixin):
+    """CameraOptimization tab: loads any supported scene format and
+    renders points + camera frusta (reference ``gs360_GUI.py:
+    7755-8597, 14184-15663``)."""
+
+    def _build(self):
+        super()._build()
+        bar = ttk.Frame(self)
+        bar.pack(side="top", fill="x", padx=8)
+        ttk.Button(bar, text="Load scene…",
+                   command=self.load_scene_file).pack(side="left")
+        ttk.Button(bar, text="Load COLMAP dir…",
+                   command=self.load_scene_dir).pack(side="left", padx=4)
+        self.scene_status = ttk.Label(bar, text="")
+        self.scene_status.pack(side="left", padx=8)
+        self._init_viewer()
+
+    def load_scene_file(self):
+        path = filedialog.askopenfilename()
+        if path:
+            self._load(path)
+
+    def load_scene_dir(self):
+        path = filedialog.askdirectory()
+        if path:
+            self._load(path)
+
+    def _load(self, path):
+        import numpy as np
+
+        from gs360x.io import scene as scenelib
+
+        try:
+            sc = scenelib.load_scene(path)
+        except (OSError, ValueError) as exc:
+            self.append_log(f"[ERR] {exc}\n")
+            return
+        segs = []
+        scale = 1.0
+        if len(sc.points_xyz):
+            span = float(np.linalg.norm(sc.points_xyz.max(0)
+                                        - sc.points_xyz.min(0)))
+            scale = max(span * 0.02, 1e-3)
+        for pose in sc.cameras:
+            segs.append(scenelib.frustum_segments(pose, scale=scale))
+        self.segments = np.concatenate(segs) if segs else None
+        self._set_cloud(sc.points_xyz, sc.points_rgb)
+        if not len(sc.points_xyz) and self.segments is not None:
+            self.camera.fit(self.segments.reshape(-1, 3))
+            self.redraw_viewer()
+        self.scene_status.configure(
+            text=f"{sc.source_kind}: {len(sc.cameras)} cams, "
+                 f"{len(sc.points_xyz):,} pts")
+        for line in sc.normalization_log:
+            self.append_log(f"[INFO] {line}\n")
+
+
 class App:
     def __init__(self, root: tk.Tk, settings_path=None):
         self.root = root
@@ -350,7 +576,9 @@ class App:
         self.tabs = []
         for title, module, fields, build in forms.TABS:
             cls = {"perspcut": PerspCutTab,
-                   "frameselector": FrameSelectorTab}.get(module, ToolTab)
+                   "frameselector": FrameSelectorTab,
+                   "plyopt": PlyOptTab,
+                   "camconvert": SceneViewerTab}.get(module, ToolTab)
             tab = cls(notebook, self, title, module, fields, build)
             notebook.add(tab, text=title)
             self.tabs.append(tab)
