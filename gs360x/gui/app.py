@@ -562,6 +562,154 @@ class SceneViewerTab(ToolTab, _ViewerMixin):
             self.append_log(f"[INFO] {line}\n")
 
 
+class MaskSegTab(ToolTab):
+    """SegmentationMask tab with the paint-based manual add-mask editor
+    (reference ``gs360_GUI.py:4531-5735``): painted layers save into the
+    form's manual-mask dir and merge into every matching frame when the
+    CLI runs with ``--manual-mask-dir``."""
+
+    def _build(self):
+        super()._build()
+        from gs360x.gui import maskedit
+
+        self.maskedit = maskedit
+        self.canvas_model = None
+        self.image = None
+        self.image_path = None
+        bar = ttk.Frame(self)
+        bar.pack(side="top", fill="x", padx=8)
+        ttk.Button(bar, text="Edit mask for image…",
+                   command=self.open_image).pack(side="left")
+        ttk.Button(bar, text="Save layer",
+                   command=self.save_layer).pack(side="left", padx=4)
+        ttk.Button(bar, text="Undo",
+                   command=self.undo).pack(side="left", padx=4)
+        ttk.Button(bar, text="Clear",
+                   command=self.clear).pack(side="left", padx=4)
+        self.brush_var = tk.StringVar(value="20")
+        ttk.Label(bar, text="brush").pack(side="left", padx=(8, 2))
+        ttk.Entry(bar, textvariable=self.brush_var,
+                  width=4).pack(side="left")
+        self.erase_var = tk.BooleanVar(value=False)
+        ttk.Checkbutton(bar, text="erase",
+                        variable=self.erase_var).pack(side="left", padx=4)
+        self.edit_status = ttk.Label(bar, text="")
+        self.edit_status.pack(side="left", padx=8)
+        self.paint = tk.Canvas(self, height=300, bg="#101014",
+                               highlightthickness=0)
+        self.paint.pack(side="top", fill="both", expand=True, padx=8,
+                        pady=4)
+        self._paint_photo = None
+        self._last = None
+        self.paint.bind("<ButtonPress-1>", self._paint_start)
+        self.paint.bind("<B1-Motion>", self._paint_move)
+        self.paint.bind("<ButtonRelease-1>", lambda e: self._end())
+
+    def _manual_dir(self):
+        d = str(self.values().get("manual_mask_dir") or "").strip()
+        if not d:
+            d = filedialog.askdirectory(title="Manual mask dir")
+            if d and "manual_mask_dir" in self.vars:
+                self.vars["manual_mask_dir"].set(d)
+        return d or None
+
+    def open_image(self):
+        import numpy as np
+
+        from gs360x.io.image import read_image
+
+        path = filedialog.askopenfilename()
+        if not path:
+            return
+        try:
+            img = read_image(path)
+        except (OSError, ValueError) as exc:
+            self.append_log(f"[ERR] {exc}\n")
+            return
+        if img.dtype != np.uint8:
+            img = (img >> 8).astype(np.uint8)
+        self.image = img
+        self.image_path = path
+        d = self._manual_dir()
+        existing = self.maskedit.load_layer(d, path, img.shape[:2]) \
+            if d else None
+        self.canvas_model = existing or self.maskedit.MaskCanvas(
+            *img.shape[:2])
+        self._redraw()
+        self.edit_status.configure(
+            text=f"{pathlib.Path(path).name} "
+                 f"({'loaded layer' if existing else 'new layer'})")
+
+    def _scale(self):
+        h, w = self.image.shape[:2]
+        cw = max(int(self.paint.winfo_width()), 100)
+        ch = max(int(self.paint.winfo_height()), 100)
+        return min(cw / w, ch / h)
+
+    def _paint_start(self, event):
+        self._last = (event.y, event.x)
+        self._apply(event)
+
+    def _paint_move(self, event):
+        self._apply(event)
+
+    def _end(self):
+        self._last = None
+
+    def _apply(self, event):
+        if self.canvas_model is None:
+            return
+        s = self._scale()
+        try:
+            radius = max(1, int(float(self.brush_var.get()) / s))
+        except ValueError:
+            radius = 20
+        y, x = int(event.y / s), int(event.x / s)
+        ly, lx = self._last or (event.y, event.x)
+        self.canvas_model.line(int(ly / s), int(lx / s), y, x, radius,
+                               erase=bool(self.erase_var.get()))
+        self._last = (event.y, event.x)
+        self._redraw()
+
+    def _redraw(self):
+        if self.image is None:
+            return
+        overlay = self.canvas_model.overlay_rgb(self.image)
+        s = self._scale()
+        try:
+            from PIL import Image, ImageTk
+
+            pil = Image.fromarray(overlay)
+            pil = pil.resize((max(1, int(overlay.shape[1] * s)),
+                              max(1, int(overlay.shape[0] * s))))
+            self._paint_photo = ImageTk.PhotoImage(pil)
+            self.paint.delete("all")
+            self.paint.create_image(0, 0, image=self._paint_photo,
+                                    anchor="nw")
+        except Exception:
+            pass
+
+    def save_layer(self):
+        if self.canvas_model is None or self.image_path is None:
+            return
+        d = self._manual_dir()
+        if not d:
+            return
+        out = self.maskedit.save_layer(self.canvas_model, d,
+                                       self.image_path)
+        self.append_log(f"[OK] manual layer: {out} "
+                        f"({self.canvas_model.painted_pixels()} px)\n")
+
+    def undo(self):
+        if self.canvas_model and self.canvas_model.undo():
+            self._redraw()
+
+    def clear(self):
+        if self.canvas_model:
+            self.canvas_model.clear()
+            self._redraw()
+
+
 class App:
     def __init__(self, root: tk.Tk, settings_path=None):
         self.root = root
@@ -578,6 +726,7 @@ class App:
             cls = {"perspcut": PerspCutTab,
                    "frameselector": FrameSelectorTab,
                    "plyopt": PlyOptTab,
+                   "maskseg": MaskSegTab,
                    "camconvert": SceneViewerTab}.get(module, ToolTab)
             tab = cls(notebook, self, title, module, fields, build)
             notebook.add(tab, text=title)
