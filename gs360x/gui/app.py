@@ -562,6 +562,53 @@ class SceneViewerTab(ToolTab, _ViewerMixin):
             self.append_log(f"[INFO] {line}\n")
 
 
+class DualFisheyeTab(ToolTab):
+    """DualFisheyePipeline tab with the two-stage lens extraction queue
+    (reference ``gs360_GUI.py:9788-9819``): Video2Frames runs twice —
+    ``-map 0:v:1`` with ``_Y`` suffix, then ``-map 0:v:0`` with ``_X``
+    — sequentially through the process runner's queue."""
+
+    def _build(self):
+        super()._build()
+        bar = ttk.Frame(self)
+        bar.pack(side="top", fill="x", padx=8)
+        ttk.Button(bar, text="Extract lens streams…",
+                   command=self.extract_streams).pack(side="left")
+        ttk.Label(bar, text="video").pack(side="left", padx=(8, 2))
+        self.video_var = tk.StringVar(value="")
+        ttk.Entry(bar, textvariable=self.video_var,
+                  width=36).pack(side="left")
+        ttk.Button(bar, text="…", width=3,
+                   command=lambda: self._pick_video()).pack(side="left")
+        ttk.Label(bar, text="fps").pack(side="left", padx=(8, 2))
+        self.fps_var = tk.StringVar(value="2")
+        ttk.Entry(bar, textvariable=self.fps_var, width=5).pack(side="left")
+
+    def _pick_video(self):
+        path = filedialog.askopenfilename()
+        if path:
+            self.video_var.set(path)
+
+    def extract_streams(self):
+        video = self.video_var.get().strip()
+        if not video:
+            self._pick_video()
+            video = self.video_var.get().strip()
+            if not video:
+                return
+        try:
+            fps = float(self.fps_var.get())
+        except ValueError:
+            self.append_log("[ERR] fps must be a number\n")
+            return
+        jobs = forms.build_dualfisheye_extract_queue(
+            {"video": video, "fps": fps})
+        argvs = [tool_argv("video2frames", j) for j in jobs]
+        for argv in argvs:
+            self.append_log("$ " + " ".join(argv) + "\n")
+        self.app.runner.run_queue(self.module, argvs, self.append_log)
+
+
 class MaskSegTab(ToolTab):
     """SegmentationMask tab with the paint-based manual add-mask editor
     (reference ``gs360_GUI.py:4531-5735``): painted layers save into the
@@ -727,6 +774,7 @@ class App:
                    "frameselector": FrameSelectorTab,
                    "plyopt": PlyOptTab,
                    "maskseg": MaskSegTab,
+                   "dualfisheye": DualFisheyeTab,
                    "camconvert": SceneViewerTab}.get(module, ToolTab)
             tab = cls(notebook, self, title, module, fields, build)
             notebook.add(tab, text=title)
