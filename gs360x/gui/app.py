@@ -518,9 +518,13 @@ class SceneViewerTab(ToolTab, _ViewerMixin):
                    command=self.load_scene_file).pack(side="left")
         ttk.Button(bar, text="Load COLMAP dir…",
                    command=self.load_scene_dir).pack(side="left", padx=4)
+        ttk.Button(bar, text="Preview transform",
+                   command=self.preview_transform).pack(side="left", padx=4)
         self.scene_status = ttk.Label(bar, text="")
         self.scene_status.pack(side="left", padx=8)
         self._init_viewer()
+        self._base_xyz = None
+        self._base_segments = None
 
     def load_scene_file(self):
         path = filedialog.askopenfilename()
@@ -555,11 +559,42 @@ class SceneViewerTab(ToolTab, _ViewerMixin):
         if not len(sc.points_xyz) and self.segments is not None:
             self.camera.fit(self.segments.reshape(-1, 3))
             self.redraw_viewer()
+        self._base_xyz = self.xyz
+        self._base_segments = self.segments
         self.scene_status.configure(
             text=f"{sc.source_kind}: {len(sc.cameras)} cams, "
                  f"{len(sc.points_xyz):,} pts")
         for line in sc.normalization_log:
             self.append_log(f"[INFO] {line}\n")
+
+    def preview_transform(self):
+        """Apply the form's camera-rot / scale values to the display
+        (reference 'preview world transform' — the CLI run then makes
+        it real via --camera-rot-*-deg)."""
+        import numpy as np
+
+        from gs360x.core import pose as posemath
+
+        if self._base_xyz is None:
+            return
+        v = self.values()
+
+        def f(key, default):
+            try:
+                return float(v.get(key) or default)
+            except (TypeError, ValueError):
+                return default
+
+        rot = (posemath.rot_z_deg(f("camera_rot_z_deg", 0.0))
+               @ posemath.rot_y_deg(f("camera_rot_y_deg", 0.0))
+               @ posemath.rot_x_deg(f("camera_rot_x_deg", 0.0)))
+        cam_s = f("camera_scale", 1.0)
+        pts_s = f("pointcloud_scale", 1.0)
+        self.xyz = (self._base_xyz @ rot.T) * pts_s
+        if self._base_segments is not None:
+            self.segments = (self._base_segments.reshape(-1, 3) @ rot.T
+                             ).reshape(self._base_segments.shape) * cam_s
+        self.redraw_viewer()
 
 
 class DualFisheyeTab(ToolTab):
