@@ -19,7 +19,9 @@ Per output tile (8 × 128 pixels):
    per-element lane shuffles over the window's three 128-lane blocks.
 4. **Vertical resample** — single-vreg sublane gathers
    (``take_along_axis(..., axis=0)`` on (8, 128)) composed hierarchically
-   over R/8 candidate vregs.
+   over R/8 candidate vregs. Window-chunk activity is gated per 8-row
+   output group (not per tile), skipping the horizontal gathers a
+   tile-wide gate would compute and mask to zero.
 
 All views of a frame run in ONE ``pallas_call`` (grid = total tiles);
 output is planar ``(V, 3, H, W)`` blocks transposed to HWC by the caller
@@ -373,41 +375,50 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
               for i in range(TILE_ROWS) for m in range(n_taps)]
 
     # ---- fused, chunk-skipped, row-batched resample ------------------------
-    # One predicated block per active 8-row window chunk (central tiles
-    # touch 2-3 of R/8). Within a chunk: de-interleave it, then for each
-    # 4-row output group gather all rows' horizontal taps in ONE (32, 128)
-    # lane shuffle per (tap, block) — the stage is op-issue-bound, so
-    # batching rows 4x into each gather is the main lever. Vertical taps
-    # stay single-vreg sublane gathers (hardware limit).
+    # Chunk activity is gated PER 8-ROW OUTPUT GROUP, not per tile: a
+    # group's vertical taps touch ~2 window chunks while the whole tile
+    # spans ~4, so per-group bounds skip over half the horizontal work a
+    # tile-wide gate would do (the gathers a tile-wide loop computes for
+    # rows whose taps miss the chunk are masked to zero — pure waste).
+    # Within an active (group, chunk): de-interleave the chunk, gather all
+    # GROUP rows' horizontal taps in one (64, 128) lane shuffle per
+    # (tap, block), then single-vreg vertical sublane gathers (hardware
+    # limit) accumulate into an (8,128)-aligned accumulator band.
     for c in range(3):
         acc[c] = jnp.zeros((TILE_ROWS, TILE_COLS), jnp.float32)
 
+    hw_g = [[stack_rows([hw[k][i:i + 1, :]
+                         for i in range(g * GROUP, (g + 1) * GROUP)])
+             for k in range(n_taps)] for g in range(n_groups)]
+
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_COLS), 1)
-    for tchunk in range(R // 8):
-        @pl.when((tchunk >= t_lo) & (tchunk < t_hi))
-        def _(tchunk=tchunk):
-            r0 = tchunk * 8
-            for c in range(3):
-                # de-interleave this chunk of channel c (planar blocks)
-                chunk4 = []   # each block replicated GROUP times (32, 128)
-                for ob in range(N_BLOCKS):
-                    src_lane = (ob * TILE_COLS + lane8) * 3 + c
-                    blk0 = ob * 3
-                    g = None
-                    for b in range(blk0, blk0 + 3):
-                        raw_blk = win_raw[slot, r0:r0 + 8,
-                                          b * TILE_COLS:(b + 1) * TILE_COLS]
-                        gb = jnp.take_along_axis(
-                            raw_blk,
-                            jnp.clip(src_lane - b * TILE_COLS, 0,
-                                     TILE_COLS - 1), axis=1)
-                        gb = jnp.where((src_lane // TILE_COLS) == b,
-                                       gb, 0.0)
-                        g = gb if g is None else g + gb
-                    chunk4.append(jnp.concatenate([g] * GROUP, axis=0))
-                for gi in range(n_groups):
+    for gi in range(n_groups):
+        tg_lo, tg_hi = chunk_bounds(vrel[gi * GROUP:(gi + 1) * GROUP, :])
+        for tchunk in range(R // 8):
+            @pl.when((tchunk >= tg_lo) & (tchunk < tg_hi))
+            def _(tchunk=tchunk, gi=gi):
+                r0 = tchunk * 8
+                for c in range(3):
+                    # de-interleave this chunk of channel c (planar blocks)
+                    chunk4 = []  # each block replicated GROUP times
+                    for ob in range(N_BLOCKS):
+                        src_lane = (ob * TILE_COLS + lane8) * 3 + c
+                        blk0 = ob * 3
+                        g = None
+                        for b in range(blk0, blk0 + 3):
+                            raw_blk = win_raw[
+                                slot, r0:r0 + 8,
+                                b * TILE_COLS:(b + 1) * TILE_COLS]
+                            gb = jnp.take_along_axis(
+                                raw_blk,
+                                jnp.clip(src_lane - b * TILE_COLS, 0,
+                                         TILE_COLS - 1), axis=1)
+                            gb = jnp.where((src_lane // TILE_COLS) == b,
+                                           gb, 0.0)
+                            g = gb if g is None else g + gb
+                        chunk4.append(jnp.concatenate([g] * GROUP, axis=0))
                     # horizontal: all GROUP rows' taps in batched gathers
-                    ih = None   # (GROUP*8, 128): row r's band holds its taps
+                    ih = None  # (GROUP*8, 128): row r's band holds its taps
                     for k in range(n_taps):
                         xi = xi_g[gi][k]
                         g = None
@@ -418,10 +429,7 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
                                          TILE_COLS - 1), axis=1)
                             gb = jnp.where((xi // TILE_COLS) == b, gb, 0.0)
                             g = gb if g is None else g + gb
-                        hwk = stack_rows(
-                            [hw[k][i:i + 1, :]
-                             for i in range(gi * GROUP, (gi + 1) * GROUP)])
-                        term = g * hwk
+                        term = g * hw_g[gi][k]
                         ih = term if ih is None else ih + term
                     # vertical: per output row, single-vreg sublane
                     # gathers; the group's rows stack into one aligned
