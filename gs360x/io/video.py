@@ -369,16 +369,21 @@ class FFmpegReader:
             cmd += ["-map", f"0:v:{self.stream}"]
         if fps:
             cmd += ["-vf", f"fps={fps}"]
-        cmd += ["-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
+        # bit-depth-aware decode: >8-bit sources pipe rgb48le (uint16),
+        # like the reference's rgb48le TIFF chain
+        # (gs360_Video2Frames.py:538-545)
+        deep = self._info.bit_depth > 8
+        pix, dtype = ("rgb48le", np.uint16) if deep else ("rgb24", np.uint8)
+        cmd += ["-f", "rawvideo", "-pix_fmt", pix, "-"]
         proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                 stderr=subprocess.DEVNULL)
-        frame_bytes = w * h * 3
+        frame_bytes = w * h * 3 * (2 if deep else 1)
         try:
             while True:
                 buf = proc.stdout.read(frame_bytes)
                 if not buf or len(buf) < frame_bytes:
                     return
-                yield np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+                yield np.frombuffer(buf, dtype).reshape(h, w, 3)
         finally:
             proc.stdout.close()
             proc.wait()

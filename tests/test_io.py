@@ -213,3 +213,59 @@ class TestIterFrames:
         vio.write_mjpeg_avi(p, gradient_frames(5), fps=25.0)
         info = vio.probe_video(p)
         assert info.n_frames == 5 and info.fps == pytest.approx(25.0)
+
+
+class TestFFmpegReaderBitDepth:
+    """FFmpegReader pipes rgb48le for >8-bit sources (ffmpeg itself is
+    faked — not present in CI — so this pins the command + dtype)."""
+
+    def _run(self, monkeypatch, bit_depth):
+        import subprocess as sp
+
+        from gs360x.io import video as vio
+
+        captured = {}
+
+        class FakeStdout:
+            def __init__(self, data):
+                self.data = data
+                self.pos = 0
+
+            def read(self, n):
+                out = self.data[self.pos:self.pos + n]
+                self.pos += n
+                return out
+
+            def close(self):
+                pass
+
+        class FakeProc:
+            def __init__(self, cmd):
+                captured["cmd"] = cmd
+                px = 4 * 4 * 3
+                itemsize = 2 if "rgb48le" in cmd else 1
+                self.stdout = FakeStdout(b"\x01" * (px * itemsize))
+
+            def wait(self):
+                return 0
+
+        monkeypatch.setattr(sp, "Popen",
+                            lambda cmd, **kw: FakeProc(cmd))
+        reader = vio.FFmpegReader.__new__(vio.FFmpegReader)
+        reader.path = "fake.mp4"
+        reader.stream = None
+        reader._info = vio.VideoInfo(width=4, height=4, fps=30.0,
+                                     n_frames=1, duration=1 / 30.0,
+                                     bit_depth=bit_depth)
+        return captured, list(reader.frames())
+
+    def test_8bit_uses_rgb24(self, monkeypatch):
+        captured, frames = self._run(monkeypatch, 8)
+        assert "rgb24" in captured["cmd"]
+        assert frames[0].dtype == np.uint8
+
+    def test_10bit_uses_rgb48le_uint16(self, monkeypatch):
+        captured, frames = self._run(monkeypatch, 10)
+        assert "rgb48le" in captured["cmd"]
+        assert frames[0].dtype == np.uint16
+        assert frames[0].shape == (4, 4, 3)
