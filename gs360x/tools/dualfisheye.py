@@ -705,22 +705,64 @@ def main(argv=None) -> int:
 
     fill = args.mask_value / 255.0
     report = {"pairs": [], "processed": 0, "failed": 0}
-    with AsyncImageWriter(workers=8) as writer:
-        for pi, (base, xp, yp, sid_x, sid_y) in enumerate(resolved, 1):
+
+    # memory-adaptive prefetch of pair decodes (reference's throttled
+    # worker loop, gs360_DualFisheyeDistortionCalibration.py:2675-2810):
+    # a bounded window of decode tasks runs ahead of the device loop,
+    # shrinking under memory pressure.
+    import concurrent.futures as cf
+    import os as _os
+    from collections import deque
+
+    from gs360x.runtime.throttle import AdaptiveLimiter, MemoryMonitor
+
+    n_workers = args.workers or min(4, _os.cpu_count() or 1)
+    limiter = AdaptiveLimiter(n_workers)
+    if args.memory_throttle_percent:
+        high = max(0.05, min(1.0, args.memory_throttle_percent / 100.0))
+    else:
+        high = 1.01  # throttling disabled
+
+    def decode_pair(item):
+        base, xp, yp, sid_x, sid_y = item
+        with limiter:
+            img_x = prepare_input_image(xp, input_lut,
+                                        args.lut_output_color_space)
+            img_y = prepare_input_image(yp, input_lut,
+                                        args.lut_output_color_space)
+            mask_x = mask_y = None
+            if mask_dir is not None:
+                from gs360x.io.image import read_image
+                mx_p = mask_dir / xp.name
+                my_p = mask_dir / yp.name
+                if mx_p.exists():
+                    mask_x = read_image(mx_p)[..., 0]
+                if my_p.exists():
+                    mask_y = read_image(my_p)[..., 0]
+        return base, xp, yp, sid_x, sid_y, img_x, img_y, mask_x, mask_y
+
+    with AsyncImageWriter(workers=8) as writer, \
+            MemoryMonitor(limiter, high=high,
+                          low=max(0.0, high - 0.10)), \
+            cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
+        pending = deque()
+        items = iter(resolved)
+
+        def submit_next():
+            item = next(items, None)
+            if item is not None:
+                pending.append(pool.submit(decode_pair, item))
+
+        for _ in range(n_workers):
+            submit_next()
+        pi = 0
+        while pending:
+            fut = pending.popleft()
+            submit_next()
+            pi += 1
             try:
-                img_x = prepare_input_image(xp, input_lut,
-                                            args.lut_output_color_space)
-                img_y = prepare_input_image(yp, input_lut,
-                                            args.lut_output_color_space)
-                mask_x = mask_y = None
-                if mask_dir is not None:
-                    from gs360x.io.image import read_image
-                    mx_p = mask_dir / xp.name
-                    my_p = mask_dir / yp.name
-                    if mx_p.exists():
-                        mask_x = read_image(mx_p)[..., 0]
-                    if my_p.exists():
-                        mask_y = read_image(my_p)[..., 0]
+                (base, xp, yp, sid_x, sid_y,
+                 img_x, img_y, mask_x, mask_y) = fut.result()
 
                 outputs = []
                 if args.save_color_corrected_output:

@@ -24,6 +24,7 @@ import os
 import pathlib
 import shutil
 import sys
+import threading
 from bisect import insort
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Set, Tuple
@@ -680,17 +681,37 @@ def main(argv=None) -> int:
         load_csv(csv_path, records, metrics)
         final, groups = _select(args, records, metrics, min_diff)
     else:
+        import concurrent.futures as cf
+
+        from gs360x.runtime.throttle import AdaptiveLimiter, MemoryMonitor
+
+        workers = args.workers or min(8, os.cpu_count() or 1)
+        limiter = AdaptiveLimiter(workers)
         done = 0
-        for rec in records:
-            if rec.exists():
-                metrics[rec.index] = score_record(
+        lock = threading.Lock()
+
+        def score_one(rec):
+            with limiter:
+                return rec.index, score_record(
                     rec, metric, args.score_crop_ratio,
                     args.ignore_highlights, args.augment_motion)
-            done += 1
-            if done % max(1, total // 20) == 0:
-                sys.stdout.write(f"Scoring... {done * 100 // total:3d}% "
-                                 f"({done}/{total})\r")
-                sys.stdout.flush()
+
+        with MemoryMonitor(limiter), \
+                cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = [pool.submit(score_one, rec) for rec in records
+                       if rec.exists()]
+            skipped = total - len(futures)
+            done = skipped
+            for fut in cf.as_completed(futures):
+                idx, m = fut.result()
+                with lock:
+                    metrics[idx] = m
+                    done += 1
+                if done % max(1, total // 20) == 0:
+                    sys.stdout.write(
+                        f"Scoring... {done * 100 // total:3d}% "
+                        f"({done}/{total})\r")
+                    sys.stdout.flush()
         sys.stdout.write("\n")
         if metric == "hybrid":
             hybrid_normalize(metrics)

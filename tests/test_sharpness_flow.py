@@ -116,3 +116,59 @@ class TestFlow:
         img[:, ::16] = 255
         pts, valid = flowk.shi_tomasi_corners(jnp.asarray(blur_np(img, 3)))
         assert int(valid.sum()) > 4
+
+
+class TestThrottle:
+    def test_limiter_gates_concurrency(self):
+        import threading
+        import time
+
+        from gs360x.runtime.throttle import AdaptiveLimiter
+
+        lim = AdaptiveLimiter(2)
+        peak = [0]
+        cur = [0]
+        lock = threading.Lock()
+
+        def work():
+            with lim:
+                with lock:
+                    cur[0] += 1
+                    peak[0] = max(peak[0], cur[0])
+                time.sleep(0.02)
+                with lock:
+                    cur[0] -= 1
+
+        threads = [threading.Thread(target=work) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert peak[0] <= 2
+
+    def test_set_target_clamps(self):
+        from gs360x.runtime.throttle import AdaptiveLimiter
+
+        lim = AdaptiveLimiter(4)
+        lim.set_target(100)
+        assert lim.target == 4   # never above base
+        lim.set_target(0)
+        assert lim.target == 1   # never below 1
+
+    def test_memory_ratio_readable_or_none(self):
+        from gs360x.runtime.throttle import memory_usage_ratio
+
+        r = memory_usage_ratio()
+        assert r is None or 0.0 <= r <= 1.0
+
+    def test_monitor_nudges_down_on_pressure(self, monkeypatch):
+        import time
+
+        from gs360x.runtime import throttle
+
+        lim = throttle.AdaptiveLimiter(4)
+        monkeypatch.setattr(throttle, "memory_usage_ratio", lambda: 0.95)
+        mon = throttle.MemoryMonitor(lim, interval=0.01)
+        with mon:
+            time.sleep(0.1)
+        assert lim.target < 4
