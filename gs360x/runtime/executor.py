@@ -322,6 +322,114 @@ def _run_images(plan, writer, report, stop_event, tick, backend, interp,
         drain(inflight)
 
 
+def _warp_frames_batch(frames, views, *, interp, keep_rec709,
+                       quantize_bits, mesh):
+    """Batched multi-device warp: ``frames`` is a list of (H, W, 3) uint8
+    arrays (one per device slot). Returns per-frame result lists shaped
+    like :func:`_warp_frame_views` (HWC, planar=False)."""
+    from gs360x.runtime import mesh as meshlib
+
+    batch = jnp.asarray(np.stack(frames))
+    results = [[None] * len(views) for _ in frames]
+    groups: Dict[tuple, List[int]] = {}
+    for i, view in enumerate(views):
+        key = (view.projection, view.width, view.height,
+               round(view.hfov_deg, 6), round(view.vfov_deg, 6))
+        groups.setdefault(key, []).append(i)
+    for (projection, vw, vh, hfov, vfov), idxs in groups.items():
+        yaws = np.array([views[i].yaw_deg for i in idxs], np.float32)
+        pitches = np.array([views[i].pitch_deg for i in idxs], np.float32)
+        rolls = np.array([views[i].roll_deg for i in idxs], np.float32)
+        out = meshlib.warp_frames_sharded(
+            mesh, batch, yaws, pitches, rolls, width=vw, height=vh,
+            hfov_deg=hfov, vfov_deg=vfov, interp=interp,
+            projection=projection, keep_rec709=keep_rec709,
+            quantize_bits=quantize_bits)
+        for f in range(len(frames)):
+            for j, i in enumerate(idxs):
+                results[f][i] = (out[f, j], False)
+    return results
+
+
+def _run_video_sharded(plan, writer, report, stop_event, tick, interp,
+                       jpeg_quality, overwrite, timers, n_dev) -> None:
+    """Multi-device video path: frames batch ``n_dev`` at a time and shard
+    over the data mesh (image-dir mode stays single-device — its
+    overwrite guard makes per-source view sets ragged)."""
+    from gs360x.runtime.mesh import data_mesh
+
+    mesh = data_mesh()
+    source = plan.jobs[0].source
+    views = plan.unique_views()
+    name_patterns = [plan.jobs[i].output_name for i in range(len(views))]
+    qbits = 16 if plan.bit_depth > 8 else 8
+    frame_iter = videolib.iter_frames(source, fps=plan.fps,
+                                      start=plan.start_time,
+                                      end=plan.end_time)
+    done = 0
+    total_est = report.total
+    pending = None  # (idxs, results) on device, not yet fetched
+
+    def drain(entry):
+        nonlocal done
+        idxs, results = entry
+        for idx, outs in zip(idxs, results):
+            if idx is None:
+                continue  # tail padding
+            for pattern, (out, planar) in zip(name_patterns, outs):
+                name = pattern.replace("%07d", f"{idx:07d}")
+                out_path = plan.out_dir / name
+                if not overwrite and out_path.exists():
+                    report.skipped += 1
+                else:
+                    with timers.stage("fetch"):
+                        arr = np.asarray(jax.device_get(out))
+                    img = arr if arr.dtype != np.float32 else \
+                        imagelib.from_float01(arr, qbits)
+                    writer.submit(out_path, img, jpeg_quality=jpeg_quality,
+                                  planar=planar)
+                    report.ok += 1
+                done += 1
+                if total_est:
+                    tick(done, total_est)
+
+    batch_idx: List = []
+    batch_rgb: List = []
+
+    def flush():
+        nonlocal pending, batch_idx, batch_rgb
+        if not batch_rgb:
+            return
+        idxs = list(batch_idx)
+        rgbs = list(batch_rgb)
+        while len(rgbs) < n_dev:     # pad the tail batch
+            idxs.append(None)
+            rgbs.append(rgbs[-1])
+        with timers.stage("warp_dispatch"):
+            results = _warp_frames_batch(
+                rgbs, views, interp=interp,
+                keep_rec709=plan.keep_rec709 if plan.video_mode else None,
+                quantize_bits=qbits, mesh=mesh)
+        if pending is not None:
+            drain(pending)
+        pending = (idxs, results)
+        batch_idx, batch_rgb = [], []
+
+    for idx, _t, rgb in _Prefetcher(
+            timers.wrap_iter("decode", frame_iter), stop_event,
+            depth=n_dev + 1):
+        if stop_event.is_set():
+            return
+        batch_idx.append(idx)
+        batch_rgb.append(np.ascontiguousarray(rgb))
+        if len(batch_rgb) == n_dev:
+            flush()
+    flush()
+    if pending is not None and not stop_event.is_set():
+        drain(pending)
+    report.total = done
+
+
 def _run_video(plan, writer, report, stop_event, tick, backend, interp,
                jpeg_quality, overwrite, timers) -> None:
     source = plan.jobs[0].source
@@ -338,6 +446,16 @@ def _run_video(plan, writer, report, stop_event, tick, backend, interp,
         est_frames = int(span * plan.fps) + 1
     total_est = (est_frames or 0) * len(views)
     report.total = total_est
+
+    n_dev = len(jax.devices())
+    if n_dev > 1 and (backend == "xla" or (
+            backend == "auto"
+            and warplib.default_device_platform() != "tpu")):
+        # multi-device: shard frame batches over the data mesh (XLA path;
+        # the pallas kernel is per-device and stays on the 1-chip path)
+        _run_video_sharded(plan, writer, report, stop_event, tick, interp,
+                           jpeg_quality, overwrite, timers, n_dev)
+        return
 
     frame_iter = videolib.iter_frames(source, fps=plan.fps, start=plan.start_time,
                                       end=plan.end_time)

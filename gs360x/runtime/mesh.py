@@ -35,28 +35,47 @@ def shard_frames(mesh: Mesh, frames: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "hfov_deg", "vfov_deg", "interp"))
+    static_argnames=("width", "height", "hfov_deg", "vfov_deg", "interp",
+                     "projection", "keep_rec709", "quantize_bits"))
 def _warp_batch(frames, yaws, pitches, rolls, *, width, height, hfov_deg,
-                vfov_deg, interp):
+                vfov_deg, interp, projection="perspective",
+                keep_rec709=None, quantize_bits=None):
+    from gs360x.core import color as colorlib
     from gs360x.kernels import warp as warplib
 
     def per_frame(frame):
-        return warplib._warp_equirect_to_views_xla(
+        if frame.dtype == jnp.uint8:
+            frame = frame.astype(jnp.float32) / 255.0
+        elif frame.dtype == jnp.uint16:
+            frame = frame.astype(jnp.float32) / 65535.0
+        out = warplib._warp_equirect_to_views_xla(
             frame, yaws, pitches, rolls, width=width, height=height,
             hfov_deg=hfov_deg, vfov_deg=vfov_deg,
-            projection="perspective", interp=interp)
+            projection=projection, interp=interp)
+        if keep_rec709 is not None:
+            out = colorlib.video_color_move(out, keep_rec709=keep_rec709)
+        if quantize_bits is not None:
+            scale = 65535.0 if quantize_bits > 8 else 255.0
+            dt = jnp.uint16 if quantize_bits > 8 else jnp.uint8
+            out = jnp.rint(jnp.clip(out, 0.0, 1.0) * scale).astype(dt)
+        return out
 
     return jax.vmap(per_frame)(frames)
 
 
 def warp_frames_sharded(mesh: Mesh, frames: jnp.ndarray, yaws, pitches,
                         rolls, *, width: int, height: int, hfov_deg: float,
-                        vfov_deg: float, interp: str = "bicubic"):
+                        vfov_deg: float, interp: str = "bicubic",
+                        projection: str = "perspective",
+                        keep_rec709=None, quantize_bits=None):
     """Warp a frame batch data-parallel over the mesh.
 
-    ``frames``: (B, H, W, C) with B divisible by mesh size. Output is
+    ``frames``: (B, H, W, C) with B divisible by mesh size (uint8/uint16
+    batches normalize on device — 4x less host→device traffic). Output is
     (B, V, height, width, C), sharded the same way — each chip's outputs
     stay local until the host drains them (no cross-chip pixel traffic).
+    The optional color move and uint8/uint16 quantization fuse into the
+    same program (see gs360x.runtime.executor for why).
     """
     frames = shard_frames(mesh, frames)
     yaws = jnp.asarray(yaws, jnp.float32)
@@ -65,7 +84,9 @@ def warp_frames_sharded(mesh: Mesh, frames: jnp.ndarray, yaws, pitches,
     with mesh:
         out = _warp_batch(frames, yaws, pitches, rolls, width=width,
                           height=height, hfov_deg=hfov_deg,
-                          vfov_deg=vfov_deg, interp=interp)
+                          vfov_deg=vfov_deg, interp=interp,
+                          projection=projection, keep_rec709=keep_rec709,
+                          quantize_bits=quantize_bits)
     return out
 
 
