@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gs360x.core import color as colorlib
 from gs360x.io import image as imagelib
 from gs360x.io import video as videolib
 from gs360x.kernels import warp as warplib
@@ -145,7 +144,7 @@ def _warp_frame_views(frame: np.ndarray, views, *, interp: str,
     it commutes with resampling within interpolation tolerance, and touches
     ~15x fewer pixels than the source).
     """
-    from gs360x.core import color as colorlib2
+    from gs360x.core import color as colorlib
     from gs360x.kernels import warp_pallas
 
     results: List = [None] * len(views)
@@ -161,9 +160,9 @@ def _warp_frame_views(frame: np.ndarray, views, *, interp: str,
 
     def color(arr, planar):
         if keep_rec709 is not None:
-            arr = (colorlib2.video_color_move_planar(
+            arr = (colorlib.video_color_move_planar(
                 arr, keep_rec709=keep_rec709) if planar
-                else colorlib2.video_color_move(arr,
+                else colorlib.video_color_move(arr,
                                                 keep_rec709=keep_rec709))
         if quantize_bits is not None:
             arr = _quantize_device(arr, quantize_bits)

@@ -186,3 +186,35 @@ class TestPlanWarp:
             width=56, height=40, hfov_deg=100.0, vfov_deg=80.0,
             interp="bilinear")[0]
         np.testing.assert_allclose(np.asarray(dense), np.asarray(fast), atol=1e-5)
+
+
+class TestShardedBatchWarp:
+    """Multi-device batch path (runs fully only on a multi-device host;
+    on one device the mesh is size-1 and the math still must hold)."""
+
+    def test_batch_matches_per_frame(self):
+        import jax
+        import jax.numpy as jnp
+
+        from gs360x.kernels import warp as warplib
+        from gs360x.runtime import mesh as meshlib
+
+        n = jax.device_count()
+        rng = np.random.default_rng(0)
+        frames = (rng.random((max(2, n), 128, 256, 3)) * 255).astype(np.uint8)
+        yaws = np.array([0.0, 90.0], np.float32)
+        zeros = np.zeros(2, np.float32)
+        m = meshlib.data_mesh()
+        out = meshlib.warp_frames_sharded(
+            m, jnp.asarray(frames[:n] if n > 1 else frames[:1]),
+            yaws, zeros, zeros, width=64, height=64, hfov_deg=90.0,
+            vfov_deg=90.0, interp="bilinear", quantize_bits=8)
+        assert out.dtype == jnp.uint8
+        ref = warplib._warp_equirect_to_views_xla(
+            jnp.asarray(frames[0].astype(np.float32) / 255.0),
+            jnp.asarray(yaws), jnp.asarray(zeros), jnp.asarray(zeros),
+            width=64, height=64, hfov_deg=90.0, vfov_deg=90.0,
+            projection="perspective", interp="bilinear")
+        ref8 = np.rint(np.clip(np.asarray(ref), 0, 1) * 255).astype(np.uint8)
+        diff = np.abs(np.asarray(out[0]).astype(int) - ref8.astype(int))
+        assert diff.max() <= 1
