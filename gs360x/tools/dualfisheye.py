@@ -385,11 +385,38 @@ def resolve_sensor_ids(camera_to_sensor, sensor_map, base, x_path, y_path,
 # --------------------------------------------------------------------------
 
 
+_PREPARED_REMAPS: Dict[tuple, object] = {}
+
+
 def device_remap(image: np.ndarray, map_x, map_y, valid, *, interp: str,
                  fill: float) -> np.ndarray:
     import jax.numpy as jnp
 
     from gs360x.kernels import warp as warplib
+    from gs360x.kernels.warp import default_device_platform
+
+    if image.ndim == 3 and default_device_platform() == "tpu" \
+            and interp in ("bilinear", "bicubic", "catmull-rom"):
+        # pallas fast path: maps are cached per sensor for the whole run,
+        # so the prepared plan (maps resident on device) is keyed by the
+        # map arrays' identity + source shape
+        from gs360x.kernels import remap_pallas
+        from gs360x.kernels.warp_pallas import PallasFallback
+
+        key = (id(map_x), id(map_y), image.shape[:2])
+        prep = _PREPARED_REMAPS.get(key, False)
+        if prep is False:
+            try:
+                prep = remap_pallas.PreparedRemap(
+                    map_x, map_y, valid, src_w=image.shape[1],
+                    src_h=image.shape[0])
+            except PallasFallback:
+                prep = None
+            _PREPARED_REMAPS[key] = prep
+        if prep is not None:
+            out = prep(image.astype(np.float32), interp=interp, fill=fill,
+                       planar=False)
+            return np.asarray(out)
 
     src = jnp.asarray(image.astype(np.float32))
     if src.ndim == 2:
