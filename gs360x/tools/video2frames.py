@@ -80,6 +80,15 @@ def parse_map_stream_selector(spec):
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except KeyboardInterrupt:
+        # reference contract: SIGINT stops cleanly with exit code 130
+        print("\n[INFO] Interrupt received, stopping...", file=sys.stderr)
+        return 130
+
+
+def _main(argv=None) -> int:
     args = create_arg_parser().parse_args(argv)
     in_path = pathlib.Path(args.video).expanduser().resolve()
     if not in_path.is_file():
