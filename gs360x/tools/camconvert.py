@@ -256,6 +256,15 @@ def options_from_args(args) -> ExportOptions:
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except KeyboardInterrupt:
+        # reference contract: SIGINT stops cleanly with exit code 130
+        print("\n[INFO] Interrupt received, stopping...", file=sys.stderr)
+        return 130
+
+
+def _main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
     try:
         model = build_model(args)

@@ -591,6 +591,15 @@ def compute_sensor_w_mm(sensor_mm: str) -> float:
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except KeyboardInterrupt:
+        # reference contract: SIGINT stops cleanly with exit code 130
+        print("\n[INFO] Interrupt received, stopping...", file=sys.stderr)
+        return 130
+
+
+def _main(argv=None) -> int:
     args = create_arg_parser().parse_args(argv)
     interp = {"nearest": "nearest", "linear": "bilinear",
               "cubic": "catmull-rom"}[args.interpolation]

@@ -270,6 +270,15 @@ def resolve_targets(args) -> List[str]:
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except KeyboardInterrupt:
+        # reference contract: SIGINT stops cleanly with exit code 130
+        print("\n[INFO] Interrupt received, stopping...", file=sys.stderr)
+        return 130
+
+
+def _main(argv=None) -> int:
     args = create_arg_parser().parse_args(argv)
     if args.mask_expand_pixels < 0 or args.mask_expand_percent < 0 \
             or args.edge_fuse_pixels < 0:

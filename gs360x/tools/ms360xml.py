@@ -334,6 +334,15 @@ def run_cut(preset: str, cut_in: pathlib.Path,
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except KeyboardInterrupt:
+        # reference contract: SIGINT stops cleanly with exit code 130
+        print("\n[INFO] Interrupt received, stopping...", file=sys.stderr)
+        return 130
+
+
+def _main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
     if args.format == FORMAT_METASHAPE_MULTI and args.preset != "fisheyelike":
         print("[ERR] --format metashape-multi-camera-system requires "

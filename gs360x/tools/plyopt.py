@@ -192,6 +192,15 @@ def save_colmap_filtered(out_dir, model, xyz, rgb, source_idx) -> None:
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except KeyboardInterrupt:
+        # reference contract: SIGINT stops cleanly with exit code 130
+        print("\n[INFO] Interrupt received, stopping...", file=sys.stderr)
+        return 130
+
+
+def _main(argv=None) -> int:
     args = create_arg_parser().parse_args(argv)
     in_path = pathlib.Path(args.input).expanduser().resolve()
     if not in_path.exists():

@@ -35,6 +35,15 @@ def create_arg_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except KeyboardInterrupt:
+        # reference contract: SIGINT stops cleanly with exit code 130
+        print("\n[INFO] Interrupt received, stopping...", file=sys.stderr)
+        return 130
+
+
+def _main(argv=None) -> int:
     args = create_arg_parser().parse_args(argv)
     try:
         scene = scenelib.load_scene(args.source, ply_path=args.ply,
