@@ -792,6 +792,87 @@ class MaskSegTab(ToolTab):
             self._redraw()
 
 
+class ConfigTab(ttk.Frame):
+    """Config tab (reference ``gs360_GUI.py:8881-8931``): theme, ffmpeg
+    path, default warp backend — persisted in the settings JSON and read
+    by the tool tabs at argv-build time."""
+
+    def __init__(self, master, app):
+        super().__init__(master)
+        self.app = app
+        form = ttk.Frame(self)
+        form.pack(side="top", fill="x", padx=8, pady=8)
+
+        ttk.Label(form, text="Theme").grid(row=0, column=0, sticky="w",
+                                           padx=4, pady=4)
+        style = ttk.Style()
+        self.theme_var = tk.StringVar(
+            value=app.settings.get("theme", style.theme_use()))
+        ttk.Combobox(form, textvariable=self.theme_var, state="readonly",
+                     values=sorted(style.theme_names()),
+                     width=24).grid(row=0, column=1, sticky="w")
+
+        ttk.Label(form, text="ffmpeg path").grid(row=1, column=0,
+                                                 sticky="w", padx=4, pady=4)
+        self.ffmpeg_var = tk.StringVar(
+            value=app.settings.get("ffmpeg_path", ""))
+        ttk.Entry(form, textvariable=self.ffmpeg_var,
+                  width=48).grid(row=1, column=1, sticky="we")
+        ttk.Button(form, text="…", width=3,
+                   command=self._browse_ffmpeg).grid(row=1, column=2)
+
+        ttk.Label(form, text="Warp backend").grid(row=2, column=0,
+                                                  sticky="w", padx=4,
+                                                  pady=4)
+        self.backend_var = tk.StringVar(
+            value=app.settings.get("backend", "auto"))
+        ttk.Combobox(form, textvariable=self.backend_var, state="readonly",
+                     values=["auto", "pallas", "xla"],
+                     width=24).grid(row=2, column=1, sticky="w")
+
+        ttk.Button(form, text="Apply",
+                   command=self.apply).grid(row=3, column=1, sticky="w",
+                                            pady=8)
+        self.status = ttk.Label(form, text="")
+        self.status.grid(row=4, column=0, columnspan=3, sticky="w", padx=4)
+        form.columnconfigure(1, weight=1)
+
+        saved_theme = app.settings.get("theme")
+        if saved_theme and saved_theme in style.theme_names():
+            try:
+                style.theme_use(saved_theme)
+            except tk.TclError:
+                pass
+
+    def _browse_ffmpeg(self):
+        path = filedialog.askopenfilename(title="ffmpeg binary")
+        if path:
+            self.ffmpeg_var.set(path)
+
+    def apply(self):
+        import os
+
+        theme = self.theme_var.get()
+        try:
+            ttk.Style().theme_use(theme)
+        except tk.TclError:
+            pass
+        self.app.settings.set("theme", theme)
+        self.app.settings.set("ffmpeg_path", self.ffmpeg_var.get().strip())
+        self.app.settings.set("backend", self.backend_var.get())
+        if self.ffmpeg_var.get().strip():
+            # subprocess tools resolve ffmpeg via PATH; prepend its dir
+            ffdir = str(pathlib.Path(self.ffmpeg_var.get()).parent)
+            if ffdir not in os.environ.get("PATH", ""):
+                os.environ["PATH"] = ffdir + os.pathsep + \
+                    os.environ.get("PATH", "")
+        self.app.settings.save()
+        self.status.configure(text="applied + saved")
+
+    def persist(self):
+        pass  # applied immediately
+
+
 class App:
     def __init__(self, root: tk.Tk, settings_path=None):
         self.root = root
@@ -814,6 +895,9 @@ class App:
             tab = cls(notebook, self, title, module, fields, build)
             notebook.add(tab, text=title)
             self.tabs.append(tab)
+        config = ConfigTab(notebook, self)
+        notebook.add(config, text="Config")
+        self.tabs.append(config)
 
         root.protocol("WM_DELETE_WINDOW", self.close)
         self._drain_logs()

@@ -130,7 +130,7 @@ class TestRunner:
                               "print('hello'); print('world')"],
                         lines.append, done.append)
         assert ok
-        for _ in range(100):
+        for _ in range(600):  # generous under load
             if done:
                 break
             time.sleep(0.05)
