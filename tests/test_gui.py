@@ -155,7 +155,7 @@ class TestRunner:
             [sys.executable, "-c", "print('one')"],
             [sys.executable, "-c", "print('two')"],
         ], lines.append, done.append)
-        for _ in range(200):
+        for _ in range(600):  # generous under load
             if done:
                 break
             time.sleep(0.05)
@@ -171,7 +171,7 @@ class TestRunner:
             [sys.executable, "-c", "raise SystemExit(3)"],
             [sys.executable, "-c", "print('never')"],
         ], lines.append, done.append)
-        for _ in range(200):
+        for _ in range(600):  # generous under load
             if done:
                 break
             time.sleep(0.05)
