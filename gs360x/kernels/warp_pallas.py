@@ -356,6 +356,119 @@ def _resample_tile(win_raw, slot, urel, vrel, acc, *, R: int, interp: str):
 
 
 
+def _resample_tile_wide(win_raw, slot, urel, vrel, acc, *, R: int,
+                        interp: str, n_blocks: int):
+    """Wide-window resample: the window spans the FULL (seam-padded)
+    source width, so any horizontal span — pole tiles, fisheye rims,
+    seam crossings — is in-window. The horizontal stage runs a
+    ``fori_loop`` over only the 128-lane blocks the output group's taps
+    actually touch (equatorial tiles of a polar view touch 2-3 of ~60;
+    true pole tiles touch most)."""
+    x0f = jnp.floor(urel)
+    y0f = jnp.floor(vrel)
+    fx = urel - x0f
+    fy = vrel - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    if interp == "bicubic":
+        hw = _lagrange_weights(fx)
+        vw = _lagrange_weights(fy)
+        koff = -1
+    elif interp == "catmull-rom":
+        hw = _catmull_rom_weights(fx)
+        vw = _catmull_rom_weights(fy)
+        koff = -1
+    else:
+        hw = _linear_weights(fx)
+        vw = _linear_weights(fy)
+        koff = 0
+    n_taps = len(hw)
+
+    GROUP = 8
+    n_groups = TILE_ROWS // GROUP
+    max_col = n_blocks * TILE_COLS - 1
+
+    def stack_rows(per_row):
+        return jnp.concatenate(
+            [jnp.broadcast_to(r, (8, TILE_COLS)) for r in per_row], axis=0)
+
+    x0_g = [stack_rows([x0[i:i + 1, :]
+                        for i in range(g * GROUP, (g + 1) * GROUP)])
+            for g in range(n_groups)]
+    hw_g = [[stack_rows([hw[k][i:i + 1, :]
+                         for i in range(g * GROUP, (g + 1) * GROUP)])
+             for k in range(n_taps)] for g in range(n_groups)]
+    ym_all = [jnp.clip(y0[i:i + 1, :] + (m + koff), 0, R - 1)
+              for i in range(TILE_ROWS) for m in range(n_taps)]
+
+    for c in range(3):
+        acc[c] = jnp.zeros((TILE_ROWS, TILE_COLS), jnp.float32)
+
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_COLS), 1)
+    for gi in range(n_groups):
+        xg = x0_g[gi]
+        b_lo = jnp.clip((jnp.min(xg) + koff) // TILE_COLS, 0, n_blocks - 1)
+        b_hi = jnp.clip((jnp.max(xg) + koff + n_taps - 1) // TILE_COLS + 1,
+                        1, n_blocks)
+        tg_lo, tg_hi = _chunk_bounds(vrel[gi * GROUP:(gi + 1) * GROUP, :], R)
+        for tchunk in range(R // 8):
+            @pl.when((tchunk >= tg_lo) & (tchunk < tg_hi))
+            def _(tchunk=tchunk, gi=gi, xg=xg, b_lo=b_lo, b_hi=b_hi):
+                r0 = tchunk * 8
+                for c in range(3):
+                    # de-interleave sub-block geometry is block-invariant:
+                    # raw col = b*384 + lane*3 + c
+                    sub_idx = lane8 * 3 + c
+                    sub_of = sub_idx // TILE_COLS        # 0..2, static
+                    sub_rel = jnp.clip(sub_idx - sub_of * TILE_COLS,
+                                       0, TILE_COLS - 1)
+
+                    def body(b, ih):
+                        g = None
+                        for sub in range(3):
+                            raw_blk = win_raw[
+                                slot, r0:r0 + 8,
+                                pl.ds(b * (3 * TILE_COLS) + sub * TILE_COLS,
+                                      TILE_COLS)]
+                            gb = jnp.take_along_axis(raw_blk, sub_rel,
+                                                     axis=1)
+                            gb = jnp.where(sub_of == sub, gb, 0.0)
+                            g = gb if g is None else g + gb
+                        chunk_rep = jnp.concatenate([g] * GROUP, axis=0)
+                        for k in range(n_taps):
+                            xi = jnp.clip(xg + (k + koff), 0, max_col)
+                            rel = jnp.clip(xi - b * TILE_COLS, 0,
+                                           TILE_COLS - 1)
+                            gb = jnp.take_along_axis(chunk_rep, rel, axis=1)
+                            term = jnp.where((xi // TILE_COLS) == b,
+                                             gb, 0.0) * hw_g[gi][k]
+                            ih = ih + term
+                        return ih
+
+                    ih = jax.lax.fori_loop(
+                        b_lo, b_hi, body,
+                        jnp.zeros((GROUP * 8, TILE_COLS), jnp.float32))
+                    adds = []
+                    for r in range(GROUP):
+                        i = gi * GROUP + r
+                        ih_i = ih[r * 8:(r + 1) * 8, :]
+                        add = None
+                        for m in range(n_taps):
+                            ym = ym_all[i * n_taps + m]
+                            ym8 = jnp.broadcast_to(ym, (8, TILE_COLS))
+                            gv = jnp.take_along_axis(
+                                ih_i, jnp.clip(ym8 - r0, 0, 7),
+                                axis=0)[0:1, :]
+                            gv = jnp.where((ym // 8) == tchunk, gv, 0.0) \
+                                * vw[m][i:i + 1, :]
+                            add = gv if add is None else add + gv
+                        adds.append(add)
+                    band = slice(gi * GROUP, (gi + 1) * GROUP)
+                    acc[c, band, :] = (acc[c, band, :]
+                                       + jnp.concatenate(adds, axis=0))
+
+
 # --------------------------------------------------------------------------
 # Kernel
 # --------------------------------------------------------------------------
@@ -486,6 +599,169 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
 
 
 
+def _warp_kernel_wide(view_f32_ref, src_hbm, out_ref, win_raw, acc,
+                      rm_prev, sems,
+                      *, interp: str, win_rows: int, src_w: int,
+                      src_h: int, out_w: int, out_h: int, n_tiles_x: int,
+                      tiles_per_view: int):
+    """Wide-window warp kernel: full-width short windows. Serves views the
+    narrow kernel's budget rejects — poles in view (pitch ±90), extreme
+    horizontal slopes — as long as each tile's VERTICAL span fits
+    ``win_rows`` (latitude has no pole blowup, so this holds for any
+    practical zoom). Seam wrap is free: the window covers every column."""
+    R = win_rows
+    n_blocks = (src_w + WIN_COLS) // TILE_COLS
+    tile = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    def tile_geometry(t):
+        view_id = t // tiles_per_view
+        within = t - view_id * tiles_per_view
+        ty = within // n_tiles_x
+        tx = within - ty * n_tiles_x
+        r00 = view_f32_ref[view_id, 0]
+        r01 = view_f32_ref[view_id, 1]
+        r02 = view_f32_ref[view_id, 2]
+        r10 = view_f32_ref[view_id, 3]
+        r11 = view_f32_ref[view_id, 4]
+        r12 = view_f32_ref[view_id, 5]
+        r20 = view_f32_ref[view_id, 6]
+        r21 = view_f32_ref[view_id, 7]
+        r22 = view_f32_ref[view_id, 8]
+        tanh = view_f32_ref[view_id, 9]
+        tanv = view_f32_ref[view_id, 10]
+
+        jj = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_ROWS, TILE_COLS), 1).astype(jnp.float32)
+        ii = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_ROWS, TILE_COLS), 0).astype(jnp.float32)
+        px = (tx * TILE_COLS).astype(jnp.float32) + jj
+        py = (ty * TILE_ROWS).astype(jnp.float32) + ii
+        nx = ((2.0 * px + 1.0) / out_w - 1.0) * tanh
+        ny = ((2.0 * py + 1.0) / out_h - 1.0) * tanv
+        inv_n = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
+        dx = nx * inv_n
+        dy = ny * inv_n
+        dz = inv_n
+        wx = r00 * dx + r01 * dy + r02 * dz
+        wy = r10 * dx + r11 * dy + r12 * dz
+        wz = r20 * dx + r21 * dy + r22 * dz
+        phi = _atan2(wx, wz)
+        theta = _asin(jnp.clip(wy, -1.0, 1.0))
+        u = (phi / math.pi + 1.0) * (src_w / 2.0) - 0.5
+        v = (theta / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
+
+        # absolute u; taps near the left edge read the right-side wrap pad
+        u = jnp.mod(u, float(src_w))
+        u = jnp.where(u < 4.0, u + float(src_w), u)
+        vcl = jnp.clip(v, 0.0, src_h - 1.0)
+        rm = jnp.clip(jnp.floor(jnp.min(vcl)).astype(jnp.int32) - V_MARGIN,
+                      0, src_h - R)
+        rm = (rm // 8) * 8
+        vrelw = jnp.clip(vcl - rm.astype(jnp.float32), 0.0, R - 1.0)
+        return rm, u, vrelw
+
+    def dma(rm):
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(rm, R)], win_raw.at[0], sems.at[0])
+
+    rm_t, urel, vrel = tile_geometry(tile)
+
+    # single-buffered window, re-DMA'd only when the origin moves: pole
+    # views' central tiles all read the same polar cap, and grid
+    # iterations are sequential, so rm_prev (SMEM) carries across tiles
+    need = (tile == 0) | (rm_t != rm_prev[0])
+
+    @pl.when(need)
+    def _():
+        io = dma(rm_t)
+        io.start()
+        io.wait()
+
+    rm_prev[0] = rm_t
+
+    _resample_tile_wide(win_raw, 0, urel, vrel, acc, R=R, interp=interp,
+                        n_blocks=n_blocks)
+    for c in range(3):
+        out_ref[0, c, :, :] = acc[c]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "src_w", "src_h", "interp",
+                     "win_rows", "n_views", "interpret"))
+def _warp_call_wide(src_rows, view_f32, *, width, height, src_w, src_h,
+                    interp, win_rows, n_views, interpret=False):
+    n_tiles_x = width // TILE_COLS
+    tiles_per_view = (height // TILE_ROWS) * n_tiles_x
+    n_tiles = tiles_per_view * n_views
+
+    kernel = functools.partial(
+        _warp_kernel_wide, interp=interp, win_rows=win_rows, src_w=src_w,
+        src_h=src_h, out_w=width, out_h=height, n_tiles_x=n_tiles_x,
+        tiles_per_view=tiles_per_view)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_views, 3, height, width),
+                                       jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # view_f32
+            pl.BlockSpec(memory_space=pl.ANY),       # src stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, TILE_ROWS, TILE_COLS),
+            lambda t: (t // tiles_per_view,
+                       0,
+                       (t % tiles_per_view) // n_tiles_x,
+                       (t % tiles_per_view) % n_tiles_x),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, win_rows, 3 * (src_w + WIN_COLS)), jnp.float32),
+            pltpu.VMEM((3, TILE_ROWS, TILE_COLS), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(view_f32, src_rows)
+
+
+# near a pole the radial v-gradient runs along the tile WIDTH, so a
+# pole-containing tile's vertical span is ~129x the latitude slope —
+# the taller classes exist for exactly those tiles
+WIDE_ROW_CLASSES = (16, 48, 96, 152, 240, 384)
+WIDE_VMEM_BUDGET = 44 * 1024 * 1024  # single-buffered window bytes
+
+
+@functools.lru_cache(maxsize=4096)
+def plan_view_wide(width: int, height: int, hfov_deg: float,
+                   vfov_deg: float, yaw_deg: float, pitch_deg: float,
+                   roll_deg: float, src_w: int,
+                   src_h: int) -> Optional[ViewBudget]:
+    """Wide-class budget: only the per-tile VERTICAL span matters (the
+    window spans every column), so poles in view are fine."""
+    if width % TILE_COLS or height % TILE_ROWS or src_w % TILE_COLS:
+        return None
+    rot = _rot_matrix(yaw_deg, pitch_deg, roll_deg)
+    _u, v = _np_view_coords_strided(width, height, hfov_deg, vfov_deg, rot,
+                                    src_w, src_h, stride=4)
+    n_ty, n_tx = height // TILE_ROWS, width // TILE_COLS
+    vc = np.clip(v, 0.0, src_h - 1.0).reshape(
+        n_ty, TILE_ROWS // 4, n_tx, TILE_COLS // 4)
+    margin = 3.0
+    v_span = (vc.max(axis=(1, 3)) - vc.min(axis=(1, 3))
+              + 2 * V_MARGIN + 2 * margin)
+    row_bytes = 3 * (src_w + WIN_COLS) * 4
+    for r in WIDE_ROW_CLASSES:
+        if r * row_bytes > WIDE_VMEM_BUDGET or r > src_h:
+            continue
+        if float(v_span.max()) <= r - 9:
+            return ViewBudget(win_rows=r, rot=rot.astype(np.float32))
+    return None
+
+
 # --------------------------------------------------------------------------
 # Public entry
 # --------------------------------------------------------------------------
@@ -597,28 +873,56 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     pad_h = (-height) % TILE_ROWS
     out_w, out_h = width + pad_w, height + pad_h
 
-    budgets: List[ViewBudget] = []
-    for yv, pv, rv in zip(yaws, pitches, rolls):
+    # partition views: narrow-window fast class, wide-window class for
+    # geometry the narrow budget rejects (poles in view / extreme slope)
+    narrow_idx: List[int] = []
+    narrow_budgets: List[ViewBudget] = []
+    wide_idx: List[int] = []
+    wide_budgets: List[ViewBudget] = []
+    for i, (yv, pv, rv) in enumerate(zip(yaws, pitches, rolls)):
         b = plan_view(out_w, out_h, hfov_deg, vfov_deg, float(yv), float(pv),
                       float(rv), src_w, src_h)
-        if b is None:
+        if b is not None:
+            narrow_idx.append(i)
+            narrow_budgets.append(b)
+            continue
+        bw = plan_view_wide(out_w, out_h, hfov_deg, vfov_deg, float(yv),
+                            float(pv), float(rv), src_w, src_h)
+        if bw is None:
             raise PallasFallback(
-                f"view yaw={yv} pitch={pv} exceeds window budget")
-        budgets.append(b)
-    win_rows = max(b.win_rows for b in budgets)
+                f"view yaw={yv} pitch={pv} exceeds window budgets")
+        wide_idx.append(i)
+        wide_budgets.append(bw)
 
-    n_views = len(budgets)
-    view_f32 = np.zeros((max(n_views, 1), 16), np.float32)
-    for vi, b in enumerate(budgets):
-        view_f32[vi, 0:9] = b.rot.reshape(-1)
-        view_f32[vi, 9] = math.tan(math.radians(hfov_deg) / 2.0)
-        view_f32[vi, 10] = math.tan(math.radians(vfov_deg) / 2.0)
+    def view_table(budgets):
+        table = np.zeros((max(len(budgets), 1), 16), np.float32)
+        for vi, b in enumerate(budgets):
+            table[vi, 0:9] = b.rot.reshape(-1)
+            table[vi, 9] = math.tan(math.radians(hfov_deg) / 2.0)
+            table[vi, 10] = math.tan(math.radians(vfov_deg) / 2.0)
+        return jnp.asarray(table)
 
     src_rows = _pad_source_rows(src_rows)
-    out = _warp_call(src_rows, jnp.asarray(view_f32),
-                     width=out_w, height=out_h, src_w=src_w, src_h=src_h,
-                     interp=interp, win_rows=win_rows, n_views=n_views,
-                     interpret=interpret)
+    parts = []
+    if narrow_budgets:
+        parts.append(_warp_call(
+            src_rows, view_table(narrow_budgets),
+            width=out_w, height=out_h, src_w=src_w, src_h=src_h,
+            interp=interp,
+            win_rows=max(b.win_rows for b in narrow_budgets),
+            n_views=len(narrow_budgets), interpret=interpret))
+    if wide_budgets:
+        parts.append(_warp_call_wide(
+            src_rows, view_table(wide_budgets),
+            width=out_w, height=out_h, src_w=src_w, src_h=src_h,
+            interp=interp,
+            win_rows=max(b.win_rows for b in wide_budgets),
+            n_views=len(wide_budgets), interpret=interpret))
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    order = narrow_idx + wide_idx
+    if order != sorted(order):
+        inv = np.argsort(np.asarray(order))
+        out = out[jnp.asarray(inv)]
     if planar:
         if pad_w or pad_h:
             out = out[:, :, :height, :width]
