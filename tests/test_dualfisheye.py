@@ -53,6 +53,99 @@ def calib_xml(tmp_path):
     return p
 
 
+REFERENCE_OSMO_XML = pathlib.Path(
+    "/root/reference/cli_tools/templates/Osmo360-Fisheye-Distortion.xml")
+
+
+class TestReferenceCalibrationCompat:
+    """Real Metashape Osmo 360 exports (type=equisolid_fisheye) must load
+    and produce undistortion maps matching the reference's equisolid +
+    Brown math (gs360_DualFisheyeDistortionCalibration.py:49,767-828,
+    1008-1051)."""
+
+    @pytest.fixture
+    def osmo_calib(self):
+        if not REFERENCE_OSMO_XML.is_file():
+            pytest.skip("reference template not available")
+        sensors, cam_map = df.load_metashape_calibration(REFERENCE_OSMO_XML)
+        return sensors, cam_map
+
+    def test_loads_adjusted_equisolid_class(self, osmo_calib):
+        sensors, cam_map = osmo_calib
+        assert "0" in sensors
+        c = sensors["0"]
+        assert c.model_type == "equisolid_fisheye"
+        assert c.width == 3840 and c.height == 3840
+        # adjusted class preferred over the initial f=1050
+        assert abs(c.f - 1049.9268186384606) < 1e-9
+        assert abs(c.k1 - 0.10190869149858893) < 1e-12
+        assert cam_map.get("Osmo360_DualFisheye_0000000_X") == "0"
+
+    def test_remap_cache_accepts_equisolid(self, osmo_calib):
+        sensors, _ = osmo_calib
+        cache = df.build_remap_cache(sensors["0"], 1.1, 190.0)
+        assert cache.map_x.shape == (3840, 3840)
+        assert cache.valid.any()
+
+    def test_undistortion_math_matches_reference(self, osmo_calib):
+        # independent recomputation of the reference's map (:1008-1051):
+        # normalize about the principal point, divide by zoom, apply the
+        # Brown radial polynomial, project back through f/b1/b2
+        sensors, _ = osmo_calib
+        c = sensors["0"]
+        zoom = 1.25
+        rng = np.random.default_rng(3)
+        dx = rng.uniform(0, c.width - 1, 64)
+        dy = rng.uniform(0, c.height - 1, 64)
+        sx, sy, valid, vm = df.remap_for_zoom(c, dx, dy, zoom, 190.0)
+
+        cx0 = c.width * 0.5 + c.cx
+        cy0 = c.height * 0.5 + c.cy
+        y0 = (dy - cy0) / c.f
+        x0 = (dx - cx0 - y0 * c.b2) / (c.f + c.b1)
+        x, y = x0 / zoom, y0 / zoom
+        r2 = x * x + y * y
+        radial = 1.0 + c.k1 * r2 + c.k2 * r2**2 + c.k3 * r2**3 + c.k4 * r2**4
+        exp_sx = cx0 + x * radial * (c.f + c.b1) + y * radial * c.b2
+        exp_sy = cy0 + y * radial * c.f
+        np.testing.assert_allclose(sx, exp_sx, rtol=1e-12)
+        np.testing.assert_allclose(sy, exp_sy, rtol=1e-12)
+        theta = 2.0 * np.arcsin(np.clip(np.sqrt(r2) * 0.5, 0.0, 1.0))
+        np.testing.assert_array_equal(vm, theta <= math.radians(95.0))
+
+    def test_center_pixel_fixed_point(self, osmo_calib):
+        # the principal point is invariant under undistortion at any zoom
+        sensors, _ = osmo_calib
+        c = sensors["0"]
+        cx0 = c.width * 0.5 + c.cx
+        cy0 = c.height * 0.5 + c.cy
+        sx, sy, _, _ = df.remap_for_zoom(
+            c, np.array([cx0]), np.array([cy0]), 1.5, 190.0)
+        assert abs(sx[0] - cx0) < 1e-9 and abs(sy[0] - cy0) < 1e-9
+
+
+class TestGeneratedTemplate:
+    def test_generated_default_matches_reference_constants(self, tmp_path):
+        from gs360x import templates
+
+        path = templates.write_osmo360_default_calibration(
+            tmp_path / "osmo.xml")
+        sensors, _ = df.load_metashape_calibration(path)
+        c = sensors["0"]
+        assert c.model_type == "equisolid_fisheye"
+        assert abs(c.f - templates.OSMO360_ADJUSTED["f"]) < 1e-9
+        assert abs(c.k1 - templates.OSMO360_ADJUSTED["k1"]) < 1e-12
+        assert abs(c.cx - templates.OSMO360_ADJUSTED["cx"]) < 1e-12
+        # and it passes the model gate
+        df.build_remap_cache(c, 1.2, 190.0)
+
+    def test_unsupported_model_rejected(self):
+        c = make_calib(size=64)
+        c.model_type = "frame"
+        with pytest.raises(ValueError, match="Unsupported sensor model"):
+            df.build_remap_cache(c, 1.0, 190.0)
+
+
 class TestCalibration:
     def test_load_prefers_adjusted(self, calib_xml):
         sensors, cam_map = df.load_metashape_calibration(calib_xml)
