@@ -356,6 +356,219 @@ def _resample_tile(win_raw, slot, urel, vrel, acc, *, R: int, interp: str):
 
 
 
+def _deinterleave_chunks(win_raw, slot, planwin, t_lo, t_hi, *, R: int,
+                         n_blocks: int = N_BLOCKS):
+    """RGB→planar for the window chunks in [t_lo, t_hi): raw interleaved
+    ``win_raw[slot]`` (R, 3·W) → ``planwin`` (3, R, W) VMEM scratch.
+
+    The lane-shuffle indices are compile-time constants (lane l of planar
+    block ``ob`` reads raw col ``(ob·128+l)·3+c``), so Mosaic lowers each
+    (channel, block) to three static shuffles merged under constant masks
+    — done ONCE per tile instead of per (group, chunk) as the old core did.
+    """
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_COLS), 1)
+    for t in range(R // 8):
+        @pl.when((t >= t_lo) & (t < t_hi))
+        def _(t=t):
+            r0 = t * 8
+            for c in range(3):
+                for ob in range(n_blocks):
+                    src_lane = (ob * TILE_COLS + lane8) * 3 + c
+                    g = None
+                    for b in range(3 * ob, 3 * ob + 3):
+                        raw_blk = win_raw[slot, r0:r0 + 8,
+                                          b * TILE_COLS:(b + 1) * TILE_COLS]
+                        gb = jnp.take_along_axis(
+                            raw_blk,
+                            jnp.clip(src_lane - b * TILE_COLS, 0,
+                                     TILE_COLS - 1), axis=1)
+                        gb = jnp.where((src_lane // TILE_COLS) == b, gb, 0.0)
+                        g = gb if g is None else g + gb
+                    planwin[c, r0:r0 + 8,
+                            ob * TILE_COLS:(ob + 1) * TILE_COLS] = g
+
+
+def _resample_tile_planar(win_raw, slot, urel, vrel, acc, *, R: int,
+                          interp: str):
+    """General-geometry resample over a PLANAR window (3, R, WIN_COLS).
+
+    vs the interleaved-window core (`_resample_tile`): the in-window
+    de-interleave is gone (the frame is planarized once per frame by
+    :func:`_planar_source` — window overlap makes per-window deint ~4×
+    the work), and the horizontal tap indices + block-folded weights are
+    hoisted per (group, tap, block) OUT of the chunk and channel loops
+    instead of being recomputed per (group, chunk, channel, tap, block).
+    """
+    x0f = jnp.floor(urel)
+    y0f = jnp.floor(vrel)
+    fx = urel - x0f
+    fy = vrel - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    if interp == "bicubic":
+        hw = _lagrange_weights(fx)
+        vw = _lagrange_weights(fy)
+        koff = -1
+    elif interp == "catmull-rom":
+        hw = _catmull_rom_weights(fx)
+        vw = _catmull_rom_weights(fy)
+        koff = -1
+    else:
+        hw = _linear_weights(fx)
+        vw = _linear_weights(fy)
+        koff = 0
+    n_taps = len(hw)
+
+    GROUP = 8
+    n_groups = TILE_ROWS // GROUP
+
+    def stack_rows(per_row):
+        return jnp.concatenate(
+            [jnp.broadcast_to(r, (8, TILE_COLS)) for r in per_row], axis=0)
+
+    for c in range(3):
+        acc[c] = jnp.zeros((TILE_ROWS, TILE_COLS), jnp.float32)
+
+    for gi in range(n_groups):
+        rows = range(gi * GROUP, (gi + 1) * GROUP)
+        # hoisted horizontal tap state (chunk- and channel-invariant)
+        relb = []   # [k][b] (GROUP*8, 128) i32 in-block lane indices
+        wfb = []    # [k][b] (GROUP*8, 128) f32 block-masked weights
+        for k in range(n_taps):
+            xi = stack_rows([jnp.clip(x0[i:i + 1, :] + (k + koff), 0,
+                                      WIN_COLS - 1) for i in rows])
+            hws = stack_rows([hw[k][i:i + 1, :] for i in rows])
+            blk_of = xi // TILE_COLS
+            relb.append([jnp.clip(xi - b * TILE_COLS, 0, TILE_COLS - 1)
+                         for b in range(N_BLOCKS)])
+            wfb.append([jnp.where(blk_of == b, hws, 0.0)
+                        for b in range(N_BLOCKS)])
+        ym = [[jnp.clip(y0[i:i + 1, :] + (m + koff), 0, R - 1)
+               for m in range(n_taps)] for i in rows]
+        vwr = [[vw[m][i:i + 1, :] for m in range(n_taps)] for i in rows]
+
+        tg_lo, tg_hi = _chunk_bounds(vrel[gi * GROUP:(gi + 1) * GROUP, :], R)
+        for tchunk in range(R // 8):
+            @pl.when((tchunk >= tg_lo) & (tchunk < tg_hi))
+            def _(tchunk=tchunk, gi=gi, relb=relb, wfb=wfb, ym=ym, vwr=vwr):
+                r0 = tchunk * 8
+                # vertical tap state shared across channels
+                ry = [[jnp.broadcast_to(jnp.clip(ym[r][m] - r0, 0, 7),
+                                        (8, TILE_COLS))
+                       for m in range(n_taps)] for r in range(GROUP)]
+                wv = [[jnp.where((ym[r][m] // 8) == tchunk, vwr[r][m], 0.0)
+                       for m in range(n_taps)] for r in range(GROUP)]
+                for c in range(3):
+                    rep = [jnp.concatenate(
+                        [win_raw[slot, c, r0:r0 + 8,
+                                 b * TILE_COLS:(b + 1) * TILE_COLS]] * GROUP,
+                        axis=0) for b in range(N_BLOCKS)]
+                    ih = None
+                    for k in range(n_taps):
+                        for b in range(N_BLOCKS):
+                            term = jnp.take_along_axis(
+                                rep[b], relb[k][b], axis=1) * wfb[k][b]
+                            ih = term if ih is None else ih + term
+                    adds = []
+                    for r in range(GROUP):
+                        ih_r = ih[r * 8:(r + 1) * 8, :]
+                        add = None
+                        for m in range(n_taps):
+                            gv = jnp.take_along_axis(
+                                ih_r, ry[r][m], axis=0)[0:1, :]
+                            term = gv * wv[r][m]
+                            add = term if add is None else add + term
+                        adds.append(add)
+                    band = slice(gi * GROUP, (gi + 1) * GROUP)
+                    acc[c, band, :] = (acc[c, band, :]
+                                       + jnp.concatenate(adds, axis=0))
+
+
+def _resample_tile_yaw(win_raw, slot, urel, vrel, acc, *, R: int,
+                       interp: str):
+    """Yaw-ring resample: ``urel`` is ROW-INDEPENDENT (all sublanes equal).
+
+    For a pitch=0, roll=0 view the horizontal source coordinate depends
+    only on the output column (the rotation is a pure y-axis spin, and
+    ``atan2`` is scale-invariant in the ray normalisation), so the
+    horizontal resample is the SAME linear map for every window row — and
+    a lane-varying linear map over columns is exactly a matmul: build a
+    4-tap one-hot weight matrix Wx (WIN_COLS, 128) once per tile and run
+    the whole planar window through the MXU, ``IH = win @ Wx``. That
+    replaces ~100 VPU lane-shuffles per (chunk, channel) — Mosaic lowers
+    a 128-lane dynamic gather to ~8 ops — with systolic-array work that
+    is effectively free at these shapes.
+
+    The vertical stage gathers all 8 rows of an output band in ONE
+    (8,128) sublane shuffle per tap (``vrel`` varies 2-D, so it cannot
+    join the matmul — its weights would have to vary along lanes).
+    """
+    x0f = jnp.floor(urel)
+    y0f = jnp.floor(vrel)
+    fx = urel - x0f
+    fy = vrel - y0f
+    x0 = x0f.astype(jnp.int32)[0:1, :]
+    y0 = y0f.astype(jnp.int32)
+
+    if interp == "bicubic":
+        hw = _lagrange_weights(fx)
+        vw = _lagrange_weights(fy)
+        koff = -1
+    elif interp == "catmull-rom":
+        hw = _catmull_rom_weights(fx)
+        vw = _catmull_rom_weights(fy)
+        koff = -1
+    else:
+        hw = _linear_weights(fx)
+        vw = _linear_weights(fy)
+        koff = 0
+    n_taps = len(hw)
+
+    # one-hot horizontal weight matrix: Wx[s, j] = sum_k hw_k[j] * [s == x_k[j]]
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN_COLS, TILE_COLS), 0)
+    wx = None
+    for k in range(n_taps):
+        xk = jnp.clip(x0 + (k + koff), 0, WIN_COLS - 1)
+        term = jnp.where(s_iota == xk, hw[k][0:1, :], 0.0)
+        wx = term if wx is None else wx + term
+
+    # horizontal pass on the MXU: all R window rows, all channels
+    ih = [jnp.dot(win_raw[slot, c], wx,
+                  preferred_element_type=jnp.float32) for c in range(3)]
+
+    if STOP_AFTER == "hpass":
+        for c in range(3):
+            acc[c] = ih[c][0:TILE_ROWS, :]
+        return
+
+    # vertical pass: per 8-row output band, gather taps from IH chunks
+    n_bands = TILE_ROWS // 8
+    for c in range(3):
+        acc[c] = jnp.zeros((TILE_ROWS, TILE_COLS), jnp.float32)
+    for band in range(n_bands):
+        rows = slice(band * 8, (band + 1) * 8)
+        ymb = [jnp.clip(y0[rows, :] + (m + koff), 0, R - 1)
+               for m in range(n_taps)]
+        vwb = [vw[m][rows, :] for m in range(n_taps)]
+        tb_lo, tb_hi = _chunk_bounds(vrel[rows, :], R)
+        for t in range(R // 8):
+            @pl.when((t >= tb_lo) & (t < tb_hi))
+            def _(t=t, ymb=ymb, vwb=vwb, rows=rows):
+                r0 = t * 8
+                ry = [jnp.clip(ymb[m] - r0, 0, 7) for m in range(n_taps)]
+                wv = [jnp.where((ymb[m] // 8) == t, vwb[m], 0.0)
+                      for m in range(n_taps)]
+                for c in range(3):
+                    ihc = ih[c][r0:r0 + 8, :]
+                    add = None
+                    for m in range(n_taps):
+                        gv = jnp.take_along_axis(ihc, ry[m], axis=0)
+                        term = gv * wv[m]
+                        add = term if add is None else add + term
+                    acc[c, rows, :] = acc[c, rows, :] + add
+
+
 def _resample_tile_wide(win_raw, slot, urel, vrel, acc, *, R: int,
                         interp: str, n_blocks: int):
     """Wide-window resample: the window spans the FULL (seam-padded)
@@ -599,6 +812,161 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
 
 
 
+def _warp_kernel_yaw(view_f32_ref,     # (V, 16) f32 SMEM: rot(9), tanh, tanv
+                     src_hbm,          # (3, H8, W'') planar f32 in ANY/HBM
+                     out_ref,          # (1, 3, TILE_ROWS, TILE_COLS) VMEM
+                     win_raw,          # scratch (2, 3, R, WIN_COLS) f32
+                     acc,              # scratch (3, TILE_ROWS, TILE_COLS)
+                     geom,             # scratch (2, 8+TILE_ROWS, TILE_COLS)
+                     rmcm,             # scratch SMEM (2, 2) i32
+                     sems,             # DMA semaphores (2,)
+                     *, interp: str, win_rows: int, src_w: int, src_h: int,
+                     out_w: int, out_h: int, n_tiles_x: int,
+                     tiles_per_view: int):
+    """Yaw-ring warp kernel: pitch=0, roll=0 views (the default preset's
+    camera ring, and the dominant production geometry). ``u`` is
+    row-independent — ``atan2(cy·nx + sy, cy − sy·nx)`` drops out of the
+    ray normalisation — which makes the horizontal resample shareable
+    across output rows (see :func:`_resample_tile_yaw`)."""
+    R = win_rows
+    tile = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    def tile_geometry(t):
+        view_id = t // tiles_per_view
+        within = t - view_id * tiles_per_view
+        ty = within // n_tiles_x
+        tx = within - ty * n_tiles_x
+        cy = view_f32_ref[view_id, 0]      # r00 = cos(yaw)
+        sy = view_f32_ref[view_id, 2]      # r02 = sin(yaw)
+        tanh = view_f32_ref[view_id, 9]
+        tanv = view_f32_ref[view_id, 10]
+
+        jj8 = jax.lax.broadcasted_iota(
+            jnp.int32, (8, TILE_COLS), 1).astype(jnp.float32)
+        px8 = (tx * TILE_COLS).astype(jnp.float32) + jj8
+        nx8 = ((2.0 * px8 + 1.0) / out_w - 1.0) * tanh
+        # yaw-only: atan2(wx, wz) is scale-invariant in the ray norm, so
+        # u never touches ny — one 8x128 vreg, all sublanes equal
+        phi = _atan2(cy * nx8 + sy, cy - sy * nx8)
+        u = (phi / math.pi + 1.0) * (src_w / 2.0) - 0.5
+
+        jj = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_ROWS, TILE_COLS), 1).astype(jnp.float32)
+        ii = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_ROWS, TILE_COLS), 0).astype(jnp.float32)
+        px = (tx * TILE_COLS).astype(jnp.float32) + jj
+        py = (ty * TILE_ROWS).astype(jnp.float32) + ii
+        nx = ((2.0 * px + 1.0) / out_w - 1.0) * tanh
+        ny = ((2.0 * py + 1.0) / out_h - 1.0) * tanv
+        inv_n = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
+        theta = _asin(jnp.clip(ny * inv_n, -1.0, 1.0))
+        v = (theta / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
+
+        u_ctr = u[0, TILE_COLS // 2]
+        urel0 = jnp.mod(u - u_ctr + 0.5 * src_w, float(src_w)) - 0.5 * src_w
+        u0 = u_ctr + jnp.min(urel0)
+        cm = jnp.mod(jnp.floor(u0).astype(jnp.int32) - H_MARGIN, src_w)
+        cm = (cm // 128) * 128
+        vcl = jnp.clip(v, 0.0, src_h - 1.0)
+        rm = jnp.clip(jnp.floor(jnp.min(vcl)).astype(jnp.int32) - V_MARGIN,
+                      0, src_h - R)
+        rm = (rm // 8) * 8
+        urelw = jnp.mod(u - cm.astype(jnp.float32), float(src_w))
+        vrelw = jnp.clip(vcl - rm.astype(jnp.float32), 0.0, R - 1.0)
+        return rm, cm, urelw, vrelw
+
+    def dma(slot, rm, cm):
+        return pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(rm, R), pl.ds(cm, WIN_COLS)],
+            win_raw.at[slot], sems.at[slot])
+
+    # geometry carry: tile t computes tile t+1's geometry once (needed for
+    # the DMA prefetch anyway) and parks it in scratch; tile t+1 reads it
+    # back instead of recomputing — halves the per-tile trig work. Grid
+    # iterations are sequential on a core, the same property the
+    # double-buffered window DMA already relies on.
+    slot = tile % 2
+
+    @pl.when(tile == 0)
+    def _():
+        rm0, cm0, urel0, vrel0 = tile_geometry(tile)
+        geom[0, 0:8, :] = urel0
+        geom[0, 8:8 + TILE_ROWS, :] = vrel0
+        rmcm[0, 0] = rm0
+        rmcm[0, 1] = cm0
+        dma(0, rm0, cm0).start()
+
+    @pl.when(tile + 1 < n_tiles)
+    def _():
+        nslot = (tile + 1) % 2
+        rm_n, cm_n, urel_n, vrel_n = tile_geometry(tile + 1)
+        geom[nslot, 0:8, :] = urel_n
+        geom[nslot, 8:8 + TILE_ROWS, :] = vrel_n
+        rmcm[nslot, 0] = rm_n
+        rmcm[nslot, 1] = cm_n
+        dma(nslot, rm_n, cm_n).start()
+
+    urel = geom[slot, 0:8, :]
+    vrel = geom[slot, 8:8 + TILE_ROWS, :]
+    rm_t = pl.multiple_of(rmcm[slot, 0], 8)
+    cm_t = pl.multiple_of(rmcm[slot, 1], 128)
+    dma(slot, rm_t, cm_t).wait()
+
+    if STOP_AFTER == "geom_dma":
+        for c in range(3):
+            out_ref[0, c, :, :] = win_raw[slot, c, 0:TILE_ROWS, 0:128] + vrel
+        return
+
+    _resample_tile_yaw(win_raw, slot, urel, vrel, acc, R=R, interp=interp)
+
+    for c in range(3):
+        out_ref[0, c, :, :] = acc[c]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "src_w", "src_h", "interp",
+                     "win_rows", "n_views", "interpret"))
+def _warp_call_yaw(src_rows, view_f32, *, width, height, src_w, src_h,
+                   interp, win_rows, n_views, interpret=False):
+    n_tiles_x = width // TILE_COLS
+    tiles_per_view = (height // TILE_ROWS) * n_tiles_x
+    n_tiles = tiles_per_view * n_views
+
+    kernel = functools.partial(
+        _warp_kernel_yaw, interp=interp, win_rows=win_rows, src_w=src_w,
+        src_h=src_h, out_w=width, out_h=height, n_tiles_x=n_tiles_x,
+        tiles_per_view=tiles_per_view)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_views, 3, height, width),
+                                       jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # view_f32
+            pl.BlockSpec(memory_space=pl.ANY),       # src stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, TILE_ROWS, TILE_COLS),
+            lambda t: (t // tiles_per_view,
+                       0,
+                       (t % tiles_per_view) // n_tiles_x,
+                       (t % tiles_per_view) % n_tiles_x),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, win_rows, WIN_COLS), jnp.float32),
+            pltpu.VMEM((3, TILE_ROWS, TILE_COLS), jnp.float32),
+            pltpu.VMEM((2, 8 + TILE_ROWS, TILE_COLS), jnp.float32),
+            pltpu.SMEM((2, 2), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(view_f32, src_rows)
+
+
 def _warp_kernel_wide(view_f32_ref, src_hbm, out_ref, win_raw, acc,
                       rm_prev, sems,
                       *, interp: str, win_rows: int, src_w: int,
@@ -771,6 +1139,27 @@ class PallasFallback(Exception):
     """Raised when a view's geometry exceeds the kernel's static budget."""
 
 
+def check_view_budgets(yaws, pitches, rolls, *, width: int, height: int,
+                       hfov_deg: float, vfov_deg: float, src_w: int,
+                       src_h: int) -> None:
+    """Raise :class:`PallasFallback` unless EVERY view fits a kernel class
+    (narrow/yaw or wide). Lets multi-device dispatchers validate a plan
+    before building sharded programs."""
+    pad_w = (-width) % TILE_COLS
+    pad_h = (-height) % TILE_ROWS
+    out_w, out_h = width + pad_w, height + pad_h
+    for yv, pv, rv in zip(np.asarray(yaws, np.float64).reshape(-1),
+                          np.asarray(pitches, np.float64).reshape(-1),
+                          np.asarray(rolls, np.float64).reshape(-1)):
+        if plan_view(out_w, out_h, hfov_deg, vfov_deg, float(yv),
+                     float(pv), float(rv), src_w, src_h) is None \
+                and plan_view_wide(out_w, out_h, hfov_deg, vfov_deg,
+                                   float(yv), float(pv), float(rv),
+                                   src_w, src_h) is None:
+            raise PallasFallback(
+                f"view yaw={yv} pitch={pv} exceeds window budgets")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "src_w", "src_h", "interp",
@@ -810,6 +1199,88 @@ def _warp_call(src_rows, view_f32, *, width, height, src_w, src_h,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(view_f32, src_rows)
+
+
+def _planarize_kernel(rows_ref, out_ref):
+    """(BR, 3·BC) interleaved-RGB rows → (3, BR, BC) planar block."""
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_COLS), 1)
+    br = rows_ref.shape[0]
+    bc = out_ref.shape[2]
+    for r0 in range(0, br, 8):
+        for c in range(3):
+            for ob in range(bc // TILE_COLS):
+                src_lane = (ob * TILE_COLS + lane8) * 3 + c
+                g = None
+                for b in range(3 * ob, 3 * ob + 3):
+                    raw_blk = rows_ref[r0:r0 + 8,
+                                       b * TILE_COLS:(b + 1) * TILE_COLS]
+                    gb = jnp.take_along_axis(
+                        raw_blk,
+                        jnp.clip(src_lane - b * TILE_COLS, 0,
+                                 TILE_COLS - 1), axis=1)
+                    gb = jnp.where((src_lane // TILE_COLS) == b, gb, 0.0)
+                    g = gb if g is None else g + gb
+                out_ref[c, r0:r0 + 8,
+                        ob * TILE_COLS:(ob + 1) * TILE_COLS] = g
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _planarize_rows(padded, interpret=False):
+    """Seam-padded f32 rows (H, W'·3) → planar (3, H, W') on device.
+
+    One pass over the source frame. Windows the warp kernels read overlap
+    ~4× at production slopes, so de-interleaving at the frame (not inside
+    each window) does a quarter of the shuffle work — and the kernels'
+    inner loops lose the 3-block masked de-interleave entirely. XLA can't
+    express this affordably (a minor-dim-3 transpose tiles catastrophically
+    on TPU), hence a dedicated Mosaic pass.
+    """
+    h, w3 = padded.shape
+    wp = w3 // 3
+    BR = 64 if h % 64 == 0 else 8
+    BC = 384
+    n_bc = wp // BC
+    return pl.pallas_call(
+        _planarize_kernel,
+        out_shape=jax.ShapeDtypeStruct((3, h, wp), jnp.float32),
+        grid=(h // BR, n_bc),
+        in_specs=[pl.BlockSpec((BR, 3 * BC), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((3, BR, BC), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(padded)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _planar_source(src_rows, interpret=False):
+    """(H, W·3) interleaved rows → seam-padded planar (3, H8, W'') f32.
+
+    W'' = W + WIN_COLS rounded up to a 384-lane multiple (wrap-padded —
+    windows never read past W + WIN_COLS); H8 = H rounded up to a sublane
+    multiple (replicated rows — the window row clamp keeps them unread).
+    uint8/uint16 inputs normalize to [0,1] here. One Mosaic pass; see
+    :func:`_planarize_rows` for why the layout move lives in a kernel.
+    """
+    h, w3 = src_rows.shape
+    w = w3 // 3
+    if src_rows.dtype == jnp.uint8:
+        src_rows = src_rows.astype(jnp.float32) * (1.0 / 255.0)
+    elif src_rows.dtype == jnp.uint16:
+        src_rows = src_rows.astype(jnp.float32) * (1.0 / 65535.0)
+    else:
+        src_rows = src_rows.astype(jnp.float32)
+    target_w = w + WIN_COLS
+    target_w += (-target_w) % 384
+    pad = target_w - w
+    reps = -(-pad // w)
+    padded = jnp.concatenate([src_rows] * (1 + reps),
+                             axis=1)[:, :target_w * 3]
+    if h % 8:
+        fill = jnp.broadcast_to(padded[h - 1:h, :],
+                                ((-h) % 8, target_w * 3))
+        padded = jnp.concatenate([padded, fill], axis=0)
+    return _planarize_rows(padded, interpret=interpret)
 
 
 @jax.jit
@@ -873,8 +1344,12 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     pad_h = (-height) % TILE_ROWS
     out_w, out_h = width + pad_w, height + pad_h
 
-    # partition views: narrow-window fast class, wide-window class for
-    # geometry the narrow budget rejects (poles in view / extreme slope)
+    # partition views: yaw-ring class (pitch=roll=0 — row-independent u,
+    # ~8x cheaper horizontal stage), general narrow-window class, and the
+    # wide-window class for geometry the narrow budget rejects (poles in
+    # view / extreme slope)
+    yaw_idx: List[int] = []
+    yaw_budgets: List[ViewBudget] = []
     narrow_idx: List[int] = []
     narrow_budgets: List[ViewBudget] = []
     wide_idx: List[int] = []
@@ -883,8 +1358,12 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
         b = plan_view(out_w, out_h, hfov_deg, vfov_deg, float(yv), float(pv),
                       float(rv), src_w, src_h)
         if b is not None:
-            narrow_idx.append(i)
-            narrow_budgets.append(b)
+            if float(pv) % 360.0 == 0.0 and float(rv) % 360.0 == 0.0:
+                yaw_idx.append(i)
+                yaw_budgets.append(b)
+            else:
+                narrow_idx.append(i)
+                narrow_budgets.append(b)
             continue
         bw = plan_view_wide(out_w, out_h, hfov_deg, vfov_deg, float(yv),
                             float(pv), float(rv), src_w, src_h)
@@ -902,8 +1381,17 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
             table[vi, 10] = math.tan(math.radians(vfov_deg) / 2.0)
         return jnp.asarray(table)
 
-    src_rows = _pad_source_rows(src_rows)
     parts = []
+    if yaw_budgets:
+        planar_src = _planar_source(src_rows, interpret=interpret)
+        parts.append(_warp_call_yaw(
+            planar_src, view_table(yaw_budgets),
+            width=out_w, height=out_h, src_w=src_w, src_h=src_h,
+            interp=interp,
+            win_rows=max(b.win_rows for b in yaw_budgets),
+            n_views=len(yaw_budgets), interpret=interpret))
+    if narrow_budgets or wide_budgets:
+        src_rows = _pad_source_rows(src_rows)
     if narrow_budgets:
         parts.append(_warp_call(
             src_rows, view_table(narrow_budgets),
@@ -919,7 +1407,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
             win_rows=max(b.win_rows for b in wide_budgets),
             n_views=len(wide_budgets), interpret=interpret))
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-    order = narrow_idx + wide_idx
+    order = yaw_idx + narrow_idx + wide_idx
     if order != sorted(order):
         inv = np.argsort(np.asarray(order))
         out = out[jnp.asarray(inv)]

@@ -20,8 +20,8 @@ def lonlat_pano(w=1024, h=512):
     ], -1).astype(np.float32))
 
 
-SRC = lonlat_pano()
-KW = dict(width=512, height=256, hfov_deg=100.0, vfov_deg=60.0)
+SRC = lonlat_pano(512, 256)
+KW = dict(width=256, height=128, hfov_deg=100.0, vfov_deg=60.0)
 
 
 def xla_ref(yaws, pitches, rolls, interp):
@@ -52,7 +52,7 @@ class TestPallasCorrectness:
         out = warp_pallas.warp_equirect_to_views_pallas(
             SRC, np.array([30.0]), np.array([5.0]), np.array([0.0]),
             interp="bilinear", interpret=True, planar=True, **KW)
-        assert out.shape == (1, 3, 256, 512)
+        assert out.shape == (1, 3, 128, 256)
         hwc = warp_pallas.warp_equirect_to_views_pallas(
             SRC, np.array([30.0]), np.array([5.0]), np.array([0.0]),
             interp="bilinear", interpret=True, **KW)
@@ -60,17 +60,56 @@ class TestPallasCorrectness:
                                    np.asarray(hwc[0, ..., 0]), atol=1e-7)
 
     def test_non_multiple_sizes_padded(self):
-        # 500x250 isn't tile-aligned; wrapper pads and crops
+        # 256x120 isn't tile-aligned; wrapper pads and crops
         out = warp_pallas.warp_equirect_to_views_pallas(
             SRC, np.array([0.0]), np.array([0.0]), np.array([0.0]),
-            width=512, height=250, hfov_deg=100.0, vfov_deg=60.0,
+            width=256, height=120, hfov_deg=100.0, vfov_deg=60.0,
             interp="bilinear", interpret=True)
-        assert out.shape == (1, 250, 512, 3)
+        assert out.shape == (1, 120, 256, 3)
+
+
+class TestYawRingKernel:
+    """pitch=roll=0 views route to the specialized yaw-ring kernel (u is
+    row-independent; shared horizontal resample) — parity against XLA."""
+
+    @pytest.mark.parametrize("interp", ["bicubic", "bilinear"])
+    def test_yaw_ring_matches_xla(self, interp):
+        yaws = np.array([0.0, 90.0, 180.0, 270.0])  # incl. seam at 180
+        zeros = np.zeros(4)
+        ref = xla_ref(yaws, zeros, zeros, interp)
+        out = warp_pallas.warp_equirect_to_views_pallas(
+            SRC, yaws, zeros, zeros, interp=interp, interpret=True, **KW)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)
+
+    def test_mixed_yaw_and_tilted_view_order(self):
+        # yaw-class + narrow-class in one call: partitioned across both
+        # kernels, output order must match the request order
+        yaws = np.array([10.0, 20.0, 30.0])
+        pitches = np.array([0.0, 15.0, 0.0])
+        rolls = np.zeros(3)
+        ref = xla_ref(yaws, pitches, rolls, "bicubic")
+        out = warp_pallas.warp_equirect_to_views_pallas(
+            SRC, yaws, pitches, rolls, interp="bicubic", interpret=True,
+            **KW)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)
+
+    def test_full_turn_yaw_is_yaw_class(self):
+        # pitch=360/roll=-360 normalize to the yaw class (mod-360 gate)
+        out = warp_pallas.warp_equirect_to_views_pallas(
+            SRC, np.array([45.0]), np.array([360.0]), np.array([-360.0]),
+            interp="bilinear", interpret=True, **KW)
+        ref = xla_ref([45.0], [360.0], [-360.0], "bilinear")
+        np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)
 
 
 class TestWideWindowKernel:
     """Views the narrow budget rejects now run on the wide-window kernel
     (full-width short windows) — parity against the XLA backend."""
+
+    # near-pole tolerance: d(u)/d(phi) blows up toward the poles, so the
+    # ~1e-7 rad atan2/asin polynomial error (vs XLA's transcendentals)
+    # magnifies into ~1e-4 of pixel value at steep-gradient texels
+    POLE_ATOL = 1e-4
 
     @pytest.mark.parametrize("pitch", [90.0, -90.0, 75.0, -75.0])
     @pytest.mark.parametrize("interp", ["bicubic", "bilinear"])
@@ -79,19 +118,19 @@ class TestWideWindowKernel:
         out = warp_pallas.warp_equirect_to_views_pallas(
             SRC, np.array([0.0]), np.array([pitch]), np.array([0.0]),
             interp=interp, interpret=True, **KW)
-        np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=self.POLE_ATOL)
 
     def test_pole_view_with_seam_crossing(self):
         ref = xla_ref([180.0], [88.0], [30.0], "bicubic")
         out = warp_pallas.warp_equirect_to_views_pallas(
             SRC, np.array([180.0]), np.array([88.0]), np.array([30.0]),
             interp="bicubic", interpret=True, **KW)
-        np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=self.POLE_ATOL)
 
     def test_extreme_hfov_slope(self):
         # 150 deg hfov at 512 px: horizontal slope exceeds the narrow
         # budget away from center; wide class must serve it
-        kw = dict(width=512, height=256, hfov_deg=150.0, vfov_deg=70.0)
+        kw = dict(width=256, height=128, hfov_deg=150.0, vfov_deg=70.0)
         ref = np.asarray(warp.warp_equirect_to_views(
             SRC, np.array([45.0], np.float32), np.array([0.0], np.float32),
             np.array([0.0], np.float32), interp="bicubic", backend="xla",
@@ -121,7 +160,7 @@ class TestWideWindowKernel:
         if rows > SRC.shape[0]:
             pytest.skip("row class exceeds source height")
         b = warp_pallas.plan_view_wide(
-            512, 256, 100.0, 60.0, 0.0, 90.0, 0.0,
+            256, 128, 100.0, 60.0, 0.0, 90.0, 0.0,
             int(SRC.shape[1]), int(SRC.shape[0]))
         assert b is not None  # pole view plans into some wide class
 
@@ -133,7 +172,7 @@ class TestFallback:
         out = warp_pallas.warp_equirect_to_views_pallas(
             SRC, np.array([0.0]), np.array([90.0]), np.array([0.0]),
             interp="bicubic", interpret=True, **KW)
-        assert out.shape == (1, 256, 512, 3)
+        assert out.shape == (1, 128, 256, 3)
 
     def test_fisheye_falls_back(self):
         with pytest.raises(warp_pallas.PallasFallback):
@@ -147,7 +186,7 @@ class TestFallback:
         out = warp.warp_equirect_to_views(
             SRC, np.array([0.0]), np.array([90.0]), np.array([0.0]),
             interp="bilinear", backend="auto", **KW)
-        assert out.shape == (1, 256, 512, 3)
+        assert out.shape == (1, 128, 256, 3)
 
 
 class TestKernelTrigPolyfills:
