@@ -102,26 +102,30 @@ class ViewBudget:
 @functools.lru_cache(maxsize=4096)
 def plan_view(width: int, height: int, hfov_deg: float, vfov_deg: float,
               yaw_deg: float, pitch_deg: float, roll_deg: float,
-              src_w: int, src_h: int) -> Optional[ViewBudget]:
+              src_w: int, src_h: int, true_w: Optional[int] = None,
+              true_h: Optional[int] = None) -> Optional[ViewBudget]:
     """Validate a view against the kernel's static window budget.
 
-    Cached: view geometry is static across frames, and an uncached full-grid
-    numpy evaluation per call was 100x slower than the kernel itself. The
-    grid is sampled at stride 4 per axis with a conservative span margin
-    (coordinate curvature over 4 px is well under 1 px for any view that
-    fits the budget anyway).
+    Cached: view geometry is static across frames. Sampling is EXACT
+    (stride 1): strided estimates under-measure the u/v swing of
+    pole-adjacent tiles — a stride-4 scan once admitted a pitch-88 view
+    whose corner tile truly spanned ~500 source columns, and the kernel's
+    384-col window silently clipped its taps. ~40ms per 1080p view,
+    amortized by the lru cache (geometry is static across frames).
     """
     if width % TILE_COLS or height % TILE_ROWS:
         return None
     rot = _rot_matrix(yaw_deg, pitch_deg, roll_deg)
     u, v = _np_view_coords_strided(width, height, hfov_deg, vfov_deg, rot,
-                                   src_w, src_h, stride=4)
+                                   src_w, src_h, stride=1, true_w=true_w,
+                                   true_h=true_h)
     n_ty, n_tx = height // TILE_ROWS, width // TILE_COLS
-    uc = u.reshape(n_ty, TILE_ROWS // 4, n_tx, TILE_COLS // 4)
-    vc = v.reshape(n_ty, TILE_ROWS // 4, n_tx, TILE_COLS // 4)
-    margin = 3.0  # stride-sampling slack on the min/max estimates
+    uc = u.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
+    vc = v.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
+    margin = 0.0  # exact sampling — no stride slack needed
     # tile-center-relative unwrap, mirroring the kernel's seam handling
-    u_center = uc[:, 0, :, (TILE_COLS // 4) // 2][:, None, :, None]
+    # (the kernel anchors at u[TILE_ROWS//2, TILE_COLS//2])
+    u_center = uc[:, TILE_ROWS // 2, :, TILE_COLS // 2][:, None, :, None]
     urel = np.mod(uc - u_center + src_w / 2.0, src_w) - src_w / 2.0
     h_span = (urel.max(axis=(1, 3)) - urel.min(axis=(1, 3))
               + 2 * H_MARGIN + 2 * margin)
@@ -136,10 +140,16 @@ def plan_view(width: int, height: int, hfov_deg: float, vfov_deg: float,
 
 
 def _np_view_coords_strided(width, height, hfov_deg, vfov_deg, rot,
-                            src_w, src_h, stride=4):
-    """Coordinate grid sampled every ``stride`` pixels (planner only)."""
-    xs = (2.0 * np.arange(0, width, stride) + 1.0) / width - 1.0
-    ys = (2.0 * np.arange(0, height, stride) + 1.0) / height - 1.0
+                            src_w, src_h, stride=4, true_w=None,
+                            true_h=None):
+    """Coordinate grid sampled every ``stride`` pixels (planner only).
+
+    ``width``/``height`` span the (tile-padded) output grid; the NDC ray
+    angles divide by the TRUE view size (``true_w``/``true_h``) to match
+    the kernels — pad tiles extrapolate slightly past the view edge and
+    must still fit the window budget."""
+    xs = (2.0 * np.arange(0, width, stride) + 1.0) / (true_w or width) - 1.0
+    ys = (2.0 * np.arange(0, height, stride) + 1.0) / (true_h or height) - 1.0
     nx, ny = np.meshgrid(xs * math.tan(math.radians(hfov_deg) / 2.0),
                          ys * math.tan(math.radians(vfov_deg) / 2.0))
     d = np.stack([nx, ny, np.ones_like(nx)], axis=-1)
@@ -354,38 +364,6 @@ def _resample_tile(win_raw, slot, urel, vrel, acc, *, R: int, interp: str):
                                        + jnp.concatenate(adds, axis=0))
 
 
-
-
-def _deinterleave_chunks(win_raw, slot, planwin, t_lo, t_hi, *, R: int,
-                         n_blocks: int = N_BLOCKS):
-    """RGB→planar for the window chunks in [t_lo, t_hi): raw interleaved
-    ``win_raw[slot]`` (R, 3·W) → ``planwin`` (3, R, W) VMEM scratch.
-
-    The lane-shuffle indices are compile-time constants (lane l of planar
-    block ``ob`` reads raw col ``(ob·128+l)·3+c``), so Mosaic lowers each
-    (channel, block) to three static shuffles merged under constant masks
-    — done ONCE per tile instead of per (group, chunk) as the old core did.
-    """
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_COLS), 1)
-    for t in range(R // 8):
-        @pl.when((t >= t_lo) & (t < t_hi))
-        def _(t=t):
-            r0 = t * 8
-            for c in range(3):
-                for ob in range(n_blocks):
-                    src_lane = (ob * TILE_COLS + lane8) * 3 + c
-                    g = None
-                    for b in range(3 * ob, 3 * ob + 3):
-                        raw_blk = win_raw[slot, r0:r0 + 8,
-                                          b * TILE_COLS:(b + 1) * TILE_COLS]
-                        gb = jnp.take_along_axis(
-                            raw_blk,
-                            jnp.clip(src_lane - b * TILE_COLS, 0,
-                                     TILE_COLS - 1), axis=1)
-                        gb = jnp.where((src_lane // TILE_COLS) == b, gb, 0.0)
-                        g = gb if g is None else g + gb
-                    planwin[c, r0:r0 + 8,
-                            ob * TILE_COLS:(ob + 1) * TILE_COLS] = g
 
 
 def _resample_tile_planar(win_raw, slot, urel, vrel, acc, *, R: int,
@@ -618,7 +596,6 @@ def _resample_tile_wide(win_raw, slot, urel, vrel, acc, *, R: int,
     for c in range(3):
         acc[c] = jnp.zeros((TILE_ROWS, TILE_COLS), jnp.float32)
 
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_COLS), 1)
     for gi in range(n_groups):
         xg = x0_g[gi]
         b_lo = jnp.clip((jnp.min(xg) + koff) // TILE_COLS, 0, n_blocks - 1)
@@ -630,25 +607,10 @@ def _resample_tile_wide(win_raw, slot, urel, vrel, acc, *, R: int,
             def _(tchunk=tchunk, gi=gi, xg=xg, b_lo=b_lo, b_hi=b_hi):
                 r0 = tchunk * 8
                 for c in range(3):
-                    # de-interleave sub-block geometry is block-invariant:
-                    # raw col = b*384 + lane*3 + c
-                    sub_idx = lane8 * 3 + c
-                    sub_of = sub_idx // TILE_COLS        # 0..2, static
-                    sub_rel = jnp.clip(sub_idx - sub_of * TILE_COLS,
-                                       0, TILE_COLS - 1)
-
-                    def body(b, ih):
-                        g = None
-                        for sub in range(3):
-                            raw_blk = win_raw[
-                                slot, r0:r0 + 8,
-                                pl.ds(b * (3 * TILE_COLS) + sub * TILE_COLS,
-                                      TILE_COLS)]
-                            gb = jnp.take_along_axis(raw_blk, sub_rel,
-                                                     axis=1)
-                            gb = jnp.where(sub_of == sub, gb, 0.0)
-                            g = gb if g is None else g + gb
-                        chunk_rep = jnp.concatenate([g] * GROUP, axis=0)
+                    def body(b, ih, c=c):
+                        blk = win_raw[slot, c, r0:r0 + 8,
+                                      pl.ds(b * TILE_COLS, TILE_COLS)]
+                        chunk_rep = jnp.concatenate([blk] * GROUP, axis=0)
                         for k in range(n_taps):
                             xi = jnp.clip(xg + (k + koff), 0, max_col)
                             rel = jnp.clip(xi - b * TILE_COLS, 0,
@@ -688,13 +650,16 @@ def _resample_tile_wide(win_raw, slot, urel, vrel, acc, *, R: int,
 
 
 def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
-                 src_hbm,              # (H, (W+WIN_COLS)*3) f32 in ANY/HBM
+                 src_hbm,              # (3, H8, W'') planar f32 in ANY/HBM
                  out_ref,              # (1, 3, TILE_ROWS, TILE_COLS) VMEM
-                 win_raw,              # scratch (2, R, 3*WIN_COLS) f32
+                 win_raw,              # scratch (2, 3, R, WIN_COLS) f32
                  acc,                  # scratch (3, TILE_ROWS, TILE_COLS)
-                 sems,                 # DMA semaphores (2, 2)
+                 geom,                 # scratch (2, 2*TILE_ROWS, TILE_COLS)
+                 rmcm,                 # scratch SMEM (2, 2) i32
+                 sems,                 # DMA semaphores (2,)
                  *, interp: str, win_rows: int, src_w: int, src_h: int,
-                 out_w: int, out_h: int, n_tiles_x: int, tiles_per_view: int):
+                 geo_w: int, geo_h: int, n_tiles_x: int,
+                 tiles_per_view: int):
     R = win_rows
     tile = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -723,8 +688,8 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
             jnp.int32, (TILE_ROWS, TILE_COLS), 0).astype(jnp.float32)
         px = (tx * TILE_COLS).astype(jnp.float32) + jj
         py = (ty * TILE_ROWS).astype(jnp.float32) + ii
-        nx = ((2.0 * px + 1.0) / out_w - 1.0) * tanh
-        ny = ((2.0 * py + 1.0) / out_h - 1.0) * tanv
+        nx = ((2.0 * px + 1.0) / geo_w - 1.0) * tanh
+        ny = ((2.0 * py + 1.0) / geo_h - 1.0) * tanv
         inv_n = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
         dx = nx * inv_n
         dy = ny * inv_n
@@ -751,60 +716,46 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
         vrelw = jnp.clip(vcl - rm.astype(jnp.float32), 0.0, R - 1.0)
         return rm, cm, urelw, vrelw
 
-    def start_dma(slot, rm, cm, n_chunks):
-        """Split DMA: the first 16 rows always (covers typical tiles), the
-        remainder only when the tile's vertical span needs it."""
-        head = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(rm, 16), pl.ds(cm * 3, 3 * WIN_COLS)],
-            win_raw.at[slot, 0:16], sems.at[slot, 0])
-        head.start()
-        if R > 16:
-            @pl.when(n_chunks > 2)
-            def _():
-                tail = pltpu.make_async_copy(
-                    src_hbm.at[pl.ds(rm + 16, R - 16),
-                               pl.ds(cm * 3, 3 * WIN_COLS)],
-                    win_raw.at[slot, 16:R], sems.at[slot, 1])
-                tail.start()
+    def dma(slot, rm, cm):
+        return pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(rm, R), pl.ds(cm, WIN_COLS)],
+            win_raw.at[slot], sems.at[slot])
 
-    def wait_dma(slot, rm, cm, n_chunks):
-        pltpu.make_async_copy(
-            src_hbm.at[pl.ds(rm, 16), pl.ds(cm * 3, 3 * WIN_COLS)],
-            win_raw.at[slot, 0:16], sems.at[slot, 0]).wait()
-        if R > 16:
-            @pl.when(n_chunks > 2)
-            def _():
-                pltpu.make_async_copy(
-                    src_hbm.at[pl.ds(rm + 16, R - 16),
-                               pl.ds(cm * 3, 3 * WIN_COLS)],
-                    win_raw.at[slot, 16:R], sems.at[slot, 1]).wait()
-
-    def chunk_bounds(vrelw):
-        return _chunk_bounds(vrelw, R)
-
-    rm_t, cm_t, urel, vrel = tile_geometry(tile)
-    t_lo, t_hi = chunk_bounds(vrel)
+    # geometry carry — see _warp_kernel_yaw: each tile's geometry is
+    # computed exactly once (by its predecessor, for the DMA prefetch)
+    slot = tile % 2
 
     @pl.when(tile == 0)
     def _():
-        start_dma(0, rm_t, cm_t, t_hi)
+        rm0, cm0, urel0, vrel0 = tile_geometry(tile)
+        geom[0, 0:TILE_ROWS, :] = urel0
+        geom[0, TILE_ROWS:2 * TILE_ROWS, :] = vrel0
+        rmcm[0, 0] = rm0
+        rmcm[0, 1] = cm0
+        dma(0, rm0, cm0).start()
 
     @pl.when(tile + 1 < n_tiles)
     def _():
-        rm_n, cm_n, _, vrel_n = tile_geometry(tile + 1)
-        _tl, th_n = chunk_bounds(vrel_n)
-        start_dma((tile + 1) % 2, rm_n, cm_n, th_n)
+        nslot = (tile + 1) % 2
+        rm_n, cm_n, urel_n, vrel_n = tile_geometry(tile + 1)
+        geom[nslot, 0:TILE_ROWS, :] = urel_n
+        geom[nslot, TILE_ROWS:2 * TILE_ROWS, :] = vrel_n
+        rmcm[nslot, 0] = rm_n
+        rmcm[nslot, 1] = cm_n
+        dma(nslot, rm_n, cm_n).start()
 
-    slot = tile % 2
-    wait_dma(slot, rm_t, cm_t, t_hi)
+    urel = geom[slot, 0:TILE_ROWS, :]
+    vrel = geom[slot, TILE_ROWS:2 * TILE_ROWS, :]
+    rm_t = pl.multiple_of(rmcm[slot, 0], 8)
+    cm_t = pl.multiple_of(rmcm[slot, 1], 128)
+    dma(slot, rm_t, cm_t).wait()
 
     if STOP_AFTER == "geom_dma":
         for c in range(3):
-            out_ref[0, c, :, :] = (
-                win_raw[slot, 0:TILE_ROWS, c * 128:(c + 1) * 128] + urel)
+            out_ref[0, c, :, :] = win_raw[slot, c, 0:TILE_ROWS, 0:128] + urel
         return
 
-    _resample_tile(win_raw, slot, urel, vrel, acc, R=R, interp=interp)
+    _resample_tile_planar(win_raw, slot, urel, vrel, acc, R=R, interp=interp)
 
     for c in range(3):
         out_ref[0, c, :, :] = acc[c]
@@ -820,8 +771,8 @@ def _warp_kernel_yaw(view_f32_ref,     # (V, 16) f32 SMEM: rot(9), tanh, tanv
                      geom,             # scratch (2, 8+TILE_ROWS, TILE_COLS)
                      rmcm,             # scratch SMEM (2, 2) i32
                      sems,             # DMA semaphores (2,)
-                     *, interp: str, win_rows: int, src_w: int, src_h: int,
-                     out_w: int, out_h: int, n_tiles_x: int,
+                     *, interp: str, win_rows: int, src_w: int,
+                     src_h: int, geo_w: int, geo_h: int, n_tiles_x: int,
                      tiles_per_view: int):
     """Yaw-ring warp kernel: pitch=0, roll=0 views (the default preset's
     camera ring, and the dominant production geometry). ``u`` is
@@ -845,7 +796,7 @@ def _warp_kernel_yaw(view_f32_ref,     # (V, 16) f32 SMEM: rot(9), tanh, tanv
         jj8 = jax.lax.broadcasted_iota(
             jnp.int32, (8, TILE_COLS), 1).astype(jnp.float32)
         px8 = (tx * TILE_COLS).astype(jnp.float32) + jj8
-        nx8 = ((2.0 * px8 + 1.0) / out_w - 1.0) * tanh
+        nx8 = ((2.0 * px8 + 1.0) / geo_w - 1.0) * tanh
         # yaw-only: atan2(wx, wz) is scale-invariant in the ray norm, so
         # u never touches ny — one 8x128 vreg, all sublanes equal
         phi = _atan2(cy * nx8 + sy, cy - sy * nx8)
@@ -857,8 +808,8 @@ def _warp_kernel_yaw(view_f32_ref,     # (V, 16) f32 SMEM: rot(9), tanh, tanv
             jnp.int32, (TILE_ROWS, TILE_COLS), 0).astype(jnp.float32)
         px = (tx * TILE_COLS).astype(jnp.float32) + jj
         py = (ty * TILE_ROWS).astype(jnp.float32) + ii
-        nx = ((2.0 * px + 1.0) / out_w - 1.0) * tanh
-        ny = ((2.0 * py + 1.0) / out_h - 1.0) * tanv
+        nx = ((2.0 * px + 1.0) / geo_w - 1.0) * tanh
+        ny = ((2.0 * py + 1.0) / geo_h - 1.0) * tanv
         inv_n = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
         theta = _asin(jnp.clip(ny * inv_n, -1.0, 1.0))
         v = (theta / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
@@ -926,17 +877,18 @@ def _warp_kernel_yaw(view_f32_ref,     # (V, 16) f32 SMEM: rot(9), tanh, tanv
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "src_w", "src_h", "interp",
-                     "win_rows", "n_views", "interpret"))
-def _warp_call_yaw(src_rows, view_f32, *, width, height, src_w, src_h,
-                   interp, win_rows, n_views, interpret=False):
+    static_argnames=("width", "height", "true_w", "true_h", "src_w",
+                     "src_h", "interp", "win_rows", "n_views", "interpret"))
+def _warp_call_yaw(src_rows, view_f32, *, width, height, true_w, true_h,
+                   src_w, src_h, interp, win_rows, n_views,
+                   interpret=False):
     n_tiles_x = width // TILE_COLS
     tiles_per_view = (height // TILE_ROWS) * n_tiles_x
     n_tiles = tiles_per_view * n_views
 
     kernel = functools.partial(
         _warp_kernel_yaw, interp=interp, win_rows=win_rows, src_w=src_w,
-        src_h=src_h, out_w=width, out_h=height, n_tiles_x=n_tiles_x,
+        src_h=src_h, geo_w=true_w, geo_h=true_h, n_tiles_x=n_tiles_x,
         tiles_per_view=tiles_per_view)
     return pl.pallas_call(
         kernel,
@@ -970,7 +922,7 @@ def _warp_call_yaw(src_rows, view_f32, *, width, height, src_w, src_h,
 def _warp_kernel_wide(view_f32_ref, src_hbm, out_ref, win_raw, acc,
                       rm_prev, sems,
                       *, interp: str, win_rows: int, src_w: int,
-                      src_h: int, out_w: int, out_h: int, n_tiles_x: int,
+                      src_h: int, geo_w: int, geo_h: int, n_tiles_x: int,
                       tiles_per_view: int):
     """Wide-window warp kernel: full-width short windows. Serves views the
     narrow kernel's budget rejects — poles in view (pitch ±90), extreme
@@ -978,7 +930,7 @@ def _warp_kernel_wide(view_f32_ref, src_hbm, out_ref, win_raw, acc,
     ``win_rows`` (latitude has no pole blowup, so this holds for any
     practical zoom). Seam wrap is free: the window covers every column."""
     R = win_rows
-    n_blocks = (src_w + WIN_COLS) // TILE_COLS
+    n_blocks = _planar_width(src_w) // TILE_COLS
     tile = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
@@ -1005,8 +957,8 @@ def _warp_kernel_wide(view_f32_ref, src_hbm, out_ref, win_raw, acc,
             jnp.int32, (TILE_ROWS, TILE_COLS), 0).astype(jnp.float32)
         px = (tx * TILE_COLS).astype(jnp.float32) + jj
         py = (ty * TILE_ROWS).astype(jnp.float32) + ii
-        nx = ((2.0 * px + 1.0) / out_w - 1.0) * tanh
-        ny = ((2.0 * py + 1.0) / out_h - 1.0) * tanv
+        nx = ((2.0 * px + 1.0) / geo_w - 1.0) * tanh
+        ny = ((2.0 * py + 1.0) / geo_h - 1.0) * tanv
         inv_n = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
         dx = nx * inv_n
         dy = ny * inv_n
@@ -1031,7 +983,7 @@ def _warp_kernel_wide(view_f32_ref, src_hbm, out_ref, win_raw, acc,
 
     def dma(rm):
         return pltpu.make_async_copy(
-            src_hbm.at[pl.ds(rm, R)], win_raw.at[0], sems.at[0])
+            src_hbm.at[:, pl.ds(rm, R), :], win_raw.at[0], sems.at[0])
 
     rm_t, urel, vrel = tile_geometry(tile)
 
@@ -1056,17 +1008,18 @@ def _warp_kernel_wide(view_f32_ref, src_hbm, out_ref, win_raw, acc,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "src_w", "src_h", "interp",
-                     "win_rows", "n_views", "interpret"))
-def _warp_call_wide(src_rows, view_f32, *, width, height, src_w, src_h,
-                    interp, win_rows, n_views, interpret=False):
+    static_argnames=("width", "height", "true_w", "true_h", "src_w",
+                     "src_h", "interp", "win_rows", "n_views", "interpret"))
+def _warp_call_wide(src_rows, view_f32, *, width, height, true_w, true_h,
+                    src_w, src_h, interp, win_rows, n_views,
+                    interpret=False):
     n_tiles_x = width // TILE_COLS
     tiles_per_view = (height // TILE_ROWS) * n_tiles_x
     n_tiles = tiles_per_view * n_views
 
     kernel = functools.partial(
         _warp_kernel_wide, interp=interp, win_rows=win_rows, src_w=src_w,
-        src_h=src_h, out_w=width, out_h=height, n_tiles_x=n_tiles_x,
+        src_h=src_h, geo_w=true_w, geo_h=true_h, n_tiles_x=n_tiles_x,
         tiles_per_view=tiles_per_view)
     return pl.pallas_call(
         kernel,
@@ -1085,7 +1038,7 @@ def _warp_call_wide(src_rows, view_f32, *, width, height, src_w, src_h,
                        (t % tiles_per_view) % n_tiles_x),
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, win_rows, 3 * (src_w + WIN_COLS)), jnp.float32),
+            pltpu.VMEM((1, 3, win_rows, _planar_width(src_w)), jnp.float32),
             pltpu.VMEM((3, TILE_ROWS, TILE_COLS), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((1,)),
@@ -1106,19 +1059,26 @@ WIDE_VMEM_BUDGET = 44 * 1024 * 1024  # single-buffered window bytes
 @functools.lru_cache(maxsize=4096)
 def plan_view_wide(width: int, height: int, hfov_deg: float,
                    vfov_deg: float, yaw_deg: float, pitch_deg: float,
-                   roll_deg: float, src_w: int,
-                   src_h: int) -> Optional[ViewBudget]:
+                   roll_deg: float, src_w: int, src_h: int,
+                   true_w: Optional[int] = None,
+                   true_h: Optional[int] = None) -> Optional[ViewBudget]:
     """Wide-class budget: only the per-tile VERTICAL span matters (the
     window spans every column), so poles in view are fine."""
     if width % TILE_COLS or height % TILE_ROWS or src_w % TILE_COLS:
         return None
     rot = _rot_matrix(yaw_deg, pitch_deg, roll_deg)
+    # stride-1 (exact) sampling: wide-class views contain poles, where v
+    # swings arbitrarily fast between strided samples — a stride-4 span
+    # estimate under-sizes the row class and the kernel's window clip then
+    # silently corrupts the pole-adjacent tile corner. Exact costs ~0.1s
+    # per view geometry, amortized by the lru cache.
     _u, v = _np_view_coords_strided(width, height, hfov_deg, vfov_deg, rot,
-                                    src_w, src_h, stride=4)
+                                    src_w, src_h, stride=1, true_w=true_w,
+                                    true_h=true_h)
     n_ty, n_tx = height // TILE_ROWS, width // TILE_COLS
     vc = np.clip(v, 0.0, src_h - 1.0).reshape(
-        n_ty, TILE_ROWS // 4, n_tx, TILE_COLS // 4)
-    margin = 3.0
+        n_ty, TILE_ROWS, n_tx, TILE_COLS)
+    margin = 0.0
     v_span = (vc.max(axis=(1, 3)) - vc.min(axis=(1, 3))
               + 2 * V_MARGIN + 2 * margin)
     row_bytes = 3 * (src_w + WIN_COLS) * 4
@@ -1162,17 +1122,17 @@ def check_view_budgets(yaws, pitches, rolls, *, width: int, height: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "src_w", "src_h", "interp",
-                     "win_rows", "n_views", "interpret"))
-def _warp_call(src_rows, view_f32, *, width, height, src_w, src_h,
-               interp, win_rows, n_views, interpret=False):
+    static_argnames=("width", "height", "true_w", "true_h", "src_w",
+                     "src_h", "interp", "win_rows", "n_views", "interpret"))
+def _warp_call(src_rows, view_f32, *, width, height, true_w, true_h,
+               src_w, src_h, interp, win_rows, n_views, interpret=False):
     n_tiles_x = width // TILE_COLS
     tiles_per_view = (height // TILE_ROWS) * n_tiles_x
     n_tiles = tiles_per_view * n_views
 
     kernel = functools.partial(
         _warp_kernel, interp=interp, win_rows=win_rows, src_w=src_w,
-        src_h=src_h, out_w=width, out_h=height, n_tiles_x=n_tiles_x,
+        src_h=src_h, geo_w=true_w, geo_h=true_h, n_tiles_x=n_tiles_x,
         tiles_per_view=tiles_per_view)
     return pl.pallas_call(
         kernel,
@@ -1191,14 +1151,22 @@ def _warp_call(src_rows, view_f32, *, width, height, src_w, src_h,
                        (t % tiles_per_view) % n_tiles_x),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, win_rows, 3 * WIN_COLS), jnp.float32),
+            pltpu.VMEM((2, 3, win_rows, WIN_COLS), jnp.float32),
             pltpu.VMEM((3, TILE_ROWS, TILE_COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 2 * TILE_ROWS, TILE_COLS), jnp.float32),
+            pltpu.SMEM((2, 2), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(view_f32, src_rows)
+
+
+def _planar_width(src_w: int) -> int:
+    """Padded planar source width: seam wrap + 384-lane alignment."""
+    w = src_w + WIN_COLS
+    return w + (-w) % 384
 
 
 def _planarize_kernel(rows_ref, out_ref):
@@ -1270,8 +1238,7 @@ def _planar_source(src_rows, interpret=False):
         src_rows = src_rows.astype(jnp.float32) * (1.0 / 65535.0)
     else:
         src_rows = src_rows.astype(jnp.float32)
-    target_w = w + WIN_COLS
-    target_w += (-target_w) % 384
+    target_w = _planar_width(w)
     pad = target_w - w
     reps = -(-pad // w)
     padded = jnp.concatenate([src_rows] * (1 + reps),
@@ -1356,7 +1323,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     wide_budgets: List[ViewBudget] = []
     for i, (yv, pv, rv) in enumerate(zip(yaws, pitches, rolls)):
         b = plan_view(out_w, out_h, hfov_deg, vfov_deg, float(yv), float(pv),
-                      float(rv), src_w, src_h)
+                      float(rv), src_w, src_h, true_w=width, true_h=height)
         if b is not None:
             if float(pv) % 360.0 == 0.0 and float(rv) % 360.0 == 0.0:
                 yaw_idx.append(i)
@@ -1366,7 +1333,8 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                 narrow_budgets.append(b)
             continue
         bw = plan_view_wide(out_w, out_h, hfov_deg, vfov_deg, float(yv),
-                            float(pv), float(rv), src_w, src_h)
+                            float(pv), float(rv), src_w, src_h,
+                            true_w=width, true_h=height)
         if bw is None:
             raise PallasFallback(
                 f"view yaw={yv} pitch={pv} exceeds window budgets")
@@ -1382,27 +1350,28 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
         return jnp.asarray(table)
 
     parts = []
+    planar_src = _planar_source(src_rows, interpret=interpret)
     if yaw_budgets:
-        planar_src = _planar_source(src_rows, interpret=interpret)
         parts.append(_warp_call_yaw(
             planar_src, view_table(yaw_budgets),
-            width=out_w, height=out_h, src_w=src_w, src_h=src_h,
+            width=out_w, height=out_h, true_w=width, true_h=height,
+            src_w=src_w, src_h=src_h,
             interp=interp,
             win_rows=max(b.win_rows for b in yaw_budgets),
             n_views=len(yaw_budgets), interpret=interpret))
-    if narrow_budgets or wide_budgets:
-        src_rows = _pad_source_rows(src_rows)
     if narrow_budgets:
         parts.append(_warp_call(
-            src_rows, view_table(narrow_budgets),
-            width=out_w, height=out_h, src_w=src_w, src_h=src_h,
+            planar_src, view_table(narrow_budgets),
+            width=out_w, height=out_h, true_w=width, true_h=height,
+            src_w=src_w, src_h=src_h,
             interp=interp,
             win_rows=max(b.win_rows for b in narrow_budgets),
             n_views=len(narrow_budgets), interpret=interpret))
     if wide_budgets:
         parts.append(_warp_call_wide(
-            src_rows, view_table(wide_budgets),
-            width=out_w, height=out_h, src_w=src_w, src_h=src_h,
+            planar_src, view_table(wide_budgets),
+            width=out_w, height=out_h, true_w=width, true_h=height,
+            src_w=src_w, src_h=src_h,
             interp=interp,
             win_rows=max(b.win_rows for b in wide_budgets),
             n_views=len(wide_budgets), interpret=interpret))

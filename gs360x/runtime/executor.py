@@ -322,13 +322,18 @@ def _run_images(plan, writer, report, stop_event, tick, backend, interp,
 
 
 def _warp_frames_batch(frames, views, *, interp, keep_rec709,
-                       quantize_bits, mesh):
+                       quantize_bits, mesh, backend="auto"):
     """Batched multi-device warp: ``frames`` is a list of (H, W, 3) uint8
     arrays (one per device slot). Returns per-frame result lists shaped
-    like :func:`_warp_frame_views` (HWC, planar=False)."""
+    like :func:`_warp_frame_views`. Prefers the per-device PALLAS fast
+    path (each chip runs the Mosaic kernel on its frame shard, planar
+    outputs); views outside the kernel budgets fall back per-group to the
+    sharded XLA lowering (HWC outputs)."""
+    from gs360x.kernels import warp_pallas
     from gs360x.runtime import mesh as meshlib
 
-    batch = jnp.asarray(np.stack(frames))
+    batch = None      # (B, H, W, 3) HWC for the XLA path, built lazily
+    rows = None       # (B, H, W*3) flattened rows for the pallas path
     results = [[None] * len(views) for _ in frames]
     groups: Dict[tuple, List[int]] = {}
     for i, view in enumerate(views):
@@ -336,17 +341,44 @@ def _warp_frames_batch(frames, views, *, interp, keep_rec709,
                round(view.hfov_deg, 6), round(view.vfov_deg, 6))
         groups.setdefault(key, []).append(i)
     for (projection, vw, vh, hfov, vfov), idxs in groups.items():
-        yaws = np.array([views[i].yaw_deg for i in idxs], np.float32)
-        pitches = np.array([views[i].pitch_deg for i in idxs], np.float32)
-        rolls = np.array([views[i].roll_deg for i in idxs], np.float32)
-        out = meshlib.warp_frames_sharded(
-            mesh, batch, yaws, pitches, rolls, width=vw, height=vh,
-            hfov_deg=hfov, vfov_deg=vfov, interp=interp,
-            projection=projection, keep_rec709=keep_rec709,
-            quantize_bits=quantize_bits)
-        for f in range(len(frames)):
-            for j, i in enumerate(idxs):
-                results[f][i] = (out[f, j], False)
+        yaws = np.array([views[i].yaw_deg for i in idxs], np.float64)
+        pitches = np.array([views[i].pitch_deg for i in idxs], np.float64)
+        rolls = np.array([views[i].roll_deg for i in idxs], np.float64)
+        done = False
+        if backend in ("auto", "pallas") \
+                and warplib.default_device_platform() == "tpu" \
+                and projection == "perspective":
+            try:
+                if rows is None:
+                    h, w = frames[0].shape[:2]
+                    rows = jnp.asarray(np.stack(
+                        [np.ascontiguousarray(f).reshape(h, w * 3)
+                         for f in frames]))
+                out = meshlib.warp_frames_sharded_pallas(
+                    mesh, rows, yaws, pitches, rolls, width=vw, height=vh,
+                    hfov_deg=hfov, vfov_deg=vfov,
+                    interp=interp if interp in ("bicubic", "bilinear")
+                    else "bilinear",
+                    keep_rec709=keep_rec709, quantize_bits=quantize_bits)
+                for f in range(len(frames)):
+                    for j, i in enumerate(idxs):
+                        results[f][i] = (out[f, j], True)
+                done = True
+            except warp_pallas.PallasFallback:
+                pass
+        if not done:
+            if batch is None:
+                batch = jnp.asarray(np.stack(frames))
+            out = meshlib.warp_frames_sharded(
+                mesh, batch, np.asarray(yaws, np.float32),
+                np.asarray(pitches, np.float32),
+                np.asarray(rolls, np.float32), width=vw, height=vh,
+                hfov_deg=hfov, vfov_deg=vfov, interp=interp,
+                projection=projection, keep_rec709=keep_rec709,
+                quantize_bits=quantize_bits)
+            for f in range(len(frames)):
+                for j, i in enumerate(idxs):
+                    results[f][i] = (out[f, j], False)
     return results
 
 

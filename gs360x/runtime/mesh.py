@@ -90,6 +90,71 @@ def warp_frames_sharded(mesh: Mesh, frames: jnp.ndarray, yaws, pitches,
     return out
 
 
+def warp_frames_sharded_pallas(mesh: Mesh, frames_rows: jnp.ndarray, yaws,
+                               pitches, rolls, *, width: int, height: int,
+                               hfov_deg: float, vfov_deg: float,
+                               interp: str = "bicubic",
+                               keep_rec709=None, quantize_bits=None,
+                               interpret: bool = False):
+    """Data-parallel PALLAS warp: each device runs the fused Mosaic kernel
+    on its own frame shard (``shard_map`` over the 1-D data mesh — the
+    workload is embarrassingly parallel, so there is no collective in the
+    program; outputs stay device-local until the host drains them).
+
+    ``frames_rows``: (B, H, W*3) uint8/uint16/f32 flattened-HWC rows with
+    B divisible by the mesh size. Returns planar (B, V, 3, height, width),
+    quantized on device when ``quantize_bits`` is set. Raises
+    :class:`gs360x.kernels.warp_pallas.PallasFallback` at trace time when
+    any view exceeds the kernel budgets (callers fall back to
+    :func:`warp_frames_sharded`, the XLA lowering).
+    """
+    from gs360x.core import color as colorlib
+    from gs360x.kernels import warp_pallas as wp
+
+    n = int(np.prod(mesh.devices.shape))
+    batch = int(frames_rows.shape[0])
+    if batch % n:
+        raise ValueError(f"batch {batch} not divisible by mesh size {n}")
+    per_dev = batch // n
+    yaws = np.asarray(yaws, np.float64).reshape(-1)
+    pitches = np.asarray(pitches, np.float64).reshape(-1)
+    rolls = np.asarray(rolls, np.float64).reshape(-1)
+
+    def shard_fn(rows_shard):
+        outs = []
+        for b in range(per_dev):
+            out = wp.warp_equirect_to_views_pallas(
+                rows_shard[b], yaws, pitches, rolls, width=width,
+                height=height, hfov_deg=hfov_deg, vfov_deg=vfov_deg,
+                interp=interp, planar=True, interpret=interpret)
+            if keep_rec709 is not None:
+                out = colorlib.video_color_move_planar(
+                    out, keep_rec709=keep_rec709)
+            if quantize_bits is not None:
+                scale = 65535.0 if quantize_bits > 8 else 255.0
+                dt = jnp.uint16 if quantize_bits > 8 else jnp.uint8
+                out = jnp.rint(jnp.clip(out, 0.0, 1.0) * scale).astype(dt)
+            outs.append(out)
+        return jnp.stack(outs)
+
+    # planning runs eagerly on the host (concrete angles) so PallasFallback
+    # propagates out of here before any device program is built
+    wp.check_view_budgets(
+        yaws, pitches, rolls, width=width, height=height,
+        hfov_deg=hfov_deg, vfov_deg=vfov_deg,
+        src_w=int(frames_rows.shape[2]) // 3,
+        src_h=int(frames_rows.shape[1]))
+
+    sharded = jax.device_put(
+        frames_rows, NamedSharding(mesh, P(DATA_AXIS, None, None)))
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, and the program is per-device pure (no collectives)
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=P(DATA_AXIS),
+                       out_specs=P(DATA_AXIS), check_vma=False)
+    with mesh:
+        return fn(sharded)
+
+
 def sharded_batch_stats(mesh: Mesh, frames: jnp.ndarray):
     """Example metrics reduction across the mesh (mean luma + sharpness sum)
     using jit's automatic collectives."""

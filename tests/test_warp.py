@@ -218,3 +218,52 @@ class TestShardedBatchWarp:
         ref8 = np.rint(np.clip(np.asarray(ref), 0, 1) * 255).astype(np.uint8)
         diff = np.abs(np.asarray(out[0]).astype(int) - ref8.astype(int))
         assert diff.max() <= 1
+
+    def test_pallas_sharded_matches_xla(self):
+        import jax
+        import jax.numpy as jnp
+
+        from gs360x.kernels import warp as warplib
+        from gs360x.runtime import mesh as meshlib
+
+        n = jax.device_count()
+        batch = max(2, n)
+        rng = np.random.default_rng(1)
+        frames = (rng.random((batch, 128, 256, 3)) * 255).astype(np.uint8)
+        rows = jnp.asarray(frames.reshape(batch, 128, 256 * 3))
+        yaws = np.array([0.0, 90.0], np.float64)
+        zeros = np.zeros(2, np.float64)
+        m = meshlib.data_mesh()
+        out = meshlib.warp_frames_sharded_pallas(
+            m, rows[:n] if n > 1 else rows[:1], yaws, zeros, zeros,
+            width=128, height=64, hfov_deg=90.0, vfov_deg=90.0,
+            interp="bilinear", quantize_bits=8, interpret=True)
+        assert out.dtype == jnp.uint8
+        assert out.shape[1:] == (2, 3, 64, 128)
+        ref = warplib._warp_equirect_to_views_xla(
+            jnp.asarray(frames[0].astype(np.float32) / 255.0),
+            jnp.asarray(yaws, jnp.float32), jnp.asarray(zeros, jnp.float32),
+            jnp.asarray(zeros, jnp.float32),
+            width=128, height=64, hfov_deg=90.0, vfov_deg=90.0,
+            projection="perspective", interp="bilinear")
+        ref8 = np.rint(np.clip(np.asarray(ref), 0, 1) * 255).astype(np.uint8)
+        got = np.transpose(np.asarray(out[0]), (0, 2, 3, 1))  # planar→HWC
+        diff = np.abs(got.astype(int) - ref8.astype(int))
+        assert diff.max() <= 1
+
+    def test_pallas_sharded_rejects_over_budget_views(self):
+        import jax.numpy as jnp
+        import pytest
+
+        from gs360x.kernels.warp_pallas import PallasFallback
+        from gs360x.runtime import mesh as meshlib
+
+        rows = jnp.zeros((1, 2048, 256 * 3), jnp.float32)
+        m = meshlib.data_mesh()
+        with pytest.raises(PallasFallback):
+            # ~32 src rows per output row: a 16-row tile spans ~500 window
+            # rows, beyond every wide row class — must reject up front
+            meshlib.warp_frames_sharded_pallas(
+                m, rows, [0.0], [0.0], [0.0], width=128, height=64,
+                hfov_deg=90.0, vfov_deg=179.0, interp="bicubic",
+                interpret=True)

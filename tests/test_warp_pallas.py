@@ -60,12 +60,20 @@ class TestPallasCorrectness:
                                    np.asarray(hwc[0, ..., 0]), atol=1e-7)
 
     def test_non_multiple_sizes_padded(self):
-        # 256x120 isn't tile-aligned; wrapper pads and crops
+        # 256x120 isn't tile-aligned; wrapper pads the tile grid but the
+        # ray angles must still divide by the TRUE view size (regression:
+        # padded-dim NDC rendered a slightly wrong field of view)
         out = warp_pallas.warp_equirect_to_views_pallas(
             SRC, np.array([0.0]), np.array([0.0]), np.array([0.0]),
             width=256, height=120, hfov_deg=100.0, vfov_deg=60.0,
             interp="bilinear", interpret=True)
         assert out.shape == (1, 120, 256, 3)
+        ref = np.asarray(warp.warp_equirect_to_views(
+            SRC, np.array([0.0], np.float32), np.array([0.0], np.float32),
+            np.array([0.0], np.float32), width=256, height=120,
+            hfov_deg=100.0, vfov_deg=60.0, interp="bilinear",
+            backend="xla"))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)
 
 
 class TestYawRingKernel:
