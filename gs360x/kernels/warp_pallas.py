@@ -141,7 +141,7 @@ def plan_view(width: int, height: int, hfov_deg: float, vfov_deg: float,
 
 def _np_view_coords_strided(width, height, hfov_deg, vfov_deg, rot,
                             src_w, src_h, stride=4, true_w=None,
-                            true_h=None):
+                            true_h=None, projection="perspective"):
     """Coordinate grid sampled every ``stride`` pixels (planner only).
 
     ``width``/``height`` span the (tile-padded) output grid; the NDC ray
@@ -150,10 +150,25 @@ def _np_view_coords_strided(width, height, hfov_deg, vfov_deg, rot,
     must still fit the window budget."""
     xs = (2.0 * np.arange(0, width, stride) + 1.0) / (true_w or width) - 1.0
     ys = (2.0 * np.arange(0, height, stride) + 1.0) / (true_h or height) - 1.0
-    nx, ny = np.meshgrid(xs * math.tan(math.radians(hfov_deg) / 2.0),
-                         ys * math.tan(math.radians(vfov_deg) / 2.0))
-    d = np.stack([nx, ny, np.ones_like(nx)], axis=-1)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    if projection == "perspective":
+        nx, ny = np.meshgrid(xs * math.tan(math.radians(hfov_deg) / 2.0),
+                             ys * math.tan(math.radians(vfov_deg) / 2.0))
+        d = np.stack([nx, ny, np.ones_like(nx)], axis=-1)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    else:
+        nx, ny = np.meshgrid(xs, ys)
+        r = np.sqrt(nx * nx + ny * ny)
+        half = math.radians(hfov_deg) / 2.0
+        if projection == "fisheye_v360":
+            theta_f = r * half
+        else:
+            theta_f = 2.0 * np.arcsin(
+                np.clip(r * math.sin(half / 2.0), -1.0, 1.0))
+        theta_f = np.clip(theta_f, 0.0, math.pi)
+        safe_r = np.where(r > 1e-12, r, 1.0)
+        d = np.stack([np.sin(theta_f) * nx / safe_r,
+                      np.sin(theta_f) * ny / safe_r,
+                      np.cos(theta_f)], axis=-1)
     world = d @ rot.T
     phi = np.arctan2(world[..., 0], world[..., 2])
     theta = np.arcsin(np.clip(world[..., 1], -1.0, 1.0))
@@ -191,6 +206,19 @@ def _atan2(y, x):
 
 def _asin(y):
     return _atan2(y, jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0)))
+
+
+def _sincos_0_pi(theta):
+    """(sin, cos) for theta in [0, pi]: Cephes minimax on x = theta - pi/2
+    (sin theta = cos x, cos theta = -sin x). Mosaic has no trig primitives."""
+    x = theta - math.pi / 2.0
+    z = x * x
+    sin_x = x * (1.0 + z * (-1.6666654611e-1 + z * (8.3321608736e-3
+                                                    + z * -1.9515295891e-4)))
+    cos_x = 1.0 + z * (-0.5 + z * (4.166664568298827e-2
+                                   + z * (-1.388731625493765e-3
+                                          + z * 2.443315711809948e-5)))
+    return cos_x, -sin_x
 
 
 def _lagrange_weights(t):
@@ -923,7 +951,7 @@ def _warp_kernel_wide(view_f32_ref, src_hbm, out_ref, win_raw, acc,
                       rm_prev, sems,
                       *, interp: str, win_rows: int, src_w: int,
                       src_h: int, geo_w: int, geo_h: int, n_tiles_x: int,
-                      tiles_per_view: int):
+                      tiles_per_view: int, projection: str = "perspective"):
     """Wide-window warp kernel: full-width short windows. Serves views the
     narrow kernel's budget rejects — poles in view (pitch ±90), extreme
     horizontal slopes — as long as each tile's VERTICAL span fits
@@ -957,12 +985,31 @@ def _warp_kernel_wide(view_f32_ref, src_hbm, out_ref, win_raw, acc,
             jnp.int32, (TILE_ROWS, TILE_COLS), 0).astype(jnp.float32)
         px = (tx * TILE_COLS).astype(jnp.float32) + jj
         py = (ty * TILE_ROWS).astype(jnp.float32) + ii
-        nx = ((2.0 * px + 1.0) / geo_w - 1.0) * tanh
-        ny = ((2.0 * py + 1.0) / geo_h - 1.0) * tanv
-        inv_n = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
-        dx = nx * inv_n
-        dy = ny * inv_n
-        dz = inv_n
+        nx = (2.0 * px + 1.0) / geo_w - 1.0
+        ny = (2.0 * py + 1.0) / geo_h - 1.0
+        if projection == "perspective":
+            nx = nx * tanh
+            ny = ny * tanv
+            inv_n = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
+            dx = nx * inv_n
+            dy = ny * inv_n
+            dz = inv_n
+            valid = None
+        else:
+            # circular fisheye output (v360 equidistant / lens equisolid):
+            # slot 9 = half d_fov in radians, slot 10 = sin(half/2)
+            r = jnp.sqrt(nx * nx + ny * ny)
+            if projection == "fisheye_v360":
+                theta_f = r * tanh
+            else:  # equisolid
+                theta_f = 2.0 * _asin(jnp.clip(r * tanv, -1.0, 1.0))
+            valid = r <= 1.0
+            theta_f = jnp.clip(theta_f, 0.0, math.pi)
+            sin_t, cos_t = _sincos_0_pi(theta_f)
+            safe_r = jnp.where(r > 1e-12, r, 1.0)
+            dx = sin_t * (nx / safe_r)
+            dy = sin_t * (ny / safe_r)
+            dz = cos_t
         wx = r00 * dx + r01 * dy + r02 * dz
         wy = r10 * dx + r11 * dy + r12 * dz
         wz = r20 * dx + r21 * dy + r22 * dz
@@ -979,13 +1026,13 @@ def _warp_kernel_wide(view_f32_ref, src_hbm, out_ref, win_raw, acc,
                       0, src_h - R)
         rm = (rm // 8) * 8
         vrelw = jnp.clip(vcl - rm.astype(jnp.float32), 0.0, R - 1.0)
-        return rm, u, vrelw
+        return rm, u, vrelw, valid
 
     def dma(rm):
         return pltpu.make_async_copy(
             src_hbm.at[:, pl.ds(rm, R), :], win_raw.at[0], sems.at[0])
 
-    rm_t, urel, vrel = tile_geometry(tile)
+    rm_t, urel, vrel, valid = tile_geometry(tile)
 
     # single-buffered window, re-DMA'd only when the origin moves: pole
     # views' central tiles all read the same polar cap, and grid
@@ -1002,17 +1049,23 @@ def _warp_kernel_wide(view_f32_ref, src_hbm, out_ref, win_raw, acc,
 
     _resample_tile_wide(win_raw, 0, urel, vrel, acc, R=R, interp=interp,
                         n_blocks=n_blocks)
-    for c in range(3):
-        out_ref[0, c, :, :] = acc[c]
+    if valid is None:
+        for c in range(3):
+            out_ref[0, c, :, :] = acc[c]
+    else:
+        vf = valid.astype(jnp.float32)   # fill=0 outside the image circle
+        for c in range(3):
+            out_ref[0, c, :, :] = acc[c] * vf
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "true_w", "true_h", "src_w",
-                     "src_h", "interp", "win_rows", "n_views", "interpret"))
+                     "src_h", "interp", "win_rows", "n_views",
+                     "projection", "interpret"))
 def _warp_call_wide(src_rows, view_f32, *, width, height, true_w, true_h,
                     src_w, src_h, interp, win_rows, n_views,
-                    interpret=False):
+                    projection="perspective", interpret=False):
     n_tiles_x = width // TILE_COLS
     tiles_per_view = (height // TILE_ROWS) * n_tiles_x
     n_tiles = tiles_per_view * n_views
@@ -1020,7 +1073,7 @@ def _warp_call_wide(src_rows, view_f32, *, width, height, true_w, true_h,
     kernel = functools.partial(
         _warp_kernel_wide, interp=interp, win_rows=win_rows, src_w=src_w,
         src_h=src_h, geo_w=true_w, geo_h=true_h, n_tiles_x=n_tiles_x,
-        tiles_per_view=tiles_per_view)
+        tiles_per_view=tiles_per_view, projection=projection)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_views, 3, height, width),
@@ -1061,7 +1114,8 @@ def plan_view_wide(width: int, height: int, hfov_deg: float,
                    vfov_deg: float, yaw_deg: float, pitch_deg: float,
                    roll_deg: float, src_w: int, src_h: int,
                    true_w: Optional[int] = None,
-                   true_h: Optional[int] = None) -> Optional[ViewBudget]:
+                   true_h: Optional[int] = None,
+                   projection: str = "perspective") -> Optional[ViewBudget]:
     """Wide-class budget: only the per-tile VERTICAL span matters (the
     window spans every column), so poles in view are fine."""
     if width % TILE_COLS or height % TILE_ROWS or src_w % TILE_COLS:
@@ -1074,7 +1128,7 @@ def plan_view_wide(width: int, height: int, hfov_deg: float,
     # per view geometry, amortized by the lru cache.
     _u, v = _np_view_coords_strided(width, height, hfov_deg, vfov_deg, rot,
                                     src_w, src_h, stride=1, true_w=true_w,
-                                    true_h=true_h)
+                                    true_h=true_h, projection=projection)
     n_ty, n_tx = height // TILE_ROWS, width // TILE_COLS
     vc = np.clip(v, 0.0, src_h - 1.0).reshape(
         n_ty, TILE_ROWS, n_tx, TILE_COLS)
@@ -1296,7 +1350,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     planar→HWC transpose (XLA transposes with minor-dim 3 are slow on TPU;
     encoders can interleave on host for the cost of a memcpy).
     """
-    if projection != "perspective":
+    if projection not in ("perspective", "fisheye_v360", "equisolid"):
         raise PallasFallback(f"projection {projection!r} not in pallas path")
     if interp not in ("bicubic", "bilinear"):
         raise PallasFallback(f"interp {interp!r} not in pallas path")
@@ -1321,20 +1375,26 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     narrow_budgets: List[ViewBudget] = []
     wide_idx: List[int] = []
     wide_budgets: List[ViewBudget] = []
+    fisheye_out = projection in ("fisheye_v360", "equisolid")
     for i, (yv, pv, rv) in enumerate(zip(yaws, pitches, rolls)):
-        b = plan_view(out_w, out_h, hfov_deg, vfov_deg, float(yv), float(pv),
-                      float(rv), src_w, src_h, true_w=width, true_h=height)
-        if b is not None:
-            if float(pv) % 360.0 == 0.0 and float(rv) % 360.0 == 0.0:
-                yaw_idx.append(i)
-                yaw_budgets.append(b)
-            else:
-                narrow_idx.append(i)
-                narrow_budgets.append(b)
-            continue
+        if not fisheye_out:
+            b = plan_view(out_w, out_h, hfov_deg, vfov_deg, float(yv),
+                          float(pv), float(rv), src_w, src_h,
+                          true_w=width, true_h=height)
+            if b is not None:
+                if float(pv) % 360.0 == 0.0 and float(rv) % 360.0 == 0.0:
+                    yaw_idx.append(i)
+                    yaw_budgets.append(b)
+                else:
+                    narrow_idx.append(i)
+                    narrow_budgets.append(b)
+                continue
+        # fisheye outputs always use the wide class: the image-circle rim
+        # sweeps every longitude, so no narrow window can hold a tile row
         bw = plan_view_wide(out_w, out_h, hfov_deg, vfov_deg, float(yv),
                             float(pv), float(rv), src_w, src_h,
-                            true_w=width, true_h=height)
+                            true_w=width, true_h=height,
+                            projection=projection)
         if bw is None:
             raise PallasFallback(
                 f"view yaw={yv} pitch={pv} exceeds window budgets")
@@ -1345,8 +1405,13 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
         table = np.zeros((max(len(budgets), 1), 16), np.float32)
         for vi, b in enumerate(budgets):
             table[vi, 0:9] = b.rot.reshape(-1)
-            table[vi, 9] = math.tan(math.radians(hfov_deg) / 2.0)
-            table[vi, 10] = math.tan(math.radians(vfov_deg) / 2.0)
+            if fisheye_out:
+                half = math.radians(hfov_deg) / 2.0
+                table[vi, 9] = half                 # theta at the rim
+                table[vi, 10] = math.sin(half / 2.0)  # equisolid scale
+            else:
+                table[vi, 9] = math.tan(math.radians(hfov_deg) / 2.0)
+                table[vi, 10] = math.tan(math.radians(vfov_deg) / 2.0)
         return jnp.asarray(table)
 
     parts = []
@@ -1374,7 +1439,8 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
             src_w=src_w, src_h=src_h,
             interp=interp,
             win_rows=max(b.win_rows for b in wide_budgets),
-            n_views=len(wide_budgets), interpret=interpret))
+            n_views=len(wide_budgets), projection=projection,
+            interpret=interpret))
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     order = yaw_idx + narrow_idx + wide_idx
     if order != sorted(order):

@@ -25,7 +25,7 @@ import pathlib
 import shutil
 import sys
 import threading
-from bisect import insort
+from bisect import bisect_left, insort
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
@@ -44,6 +44,8 @@ FLOW_LOW_MOTION_PERCENTILE = 10.0
 FLOW_MISSING_HIGH_VALUE = 9999.0
 FLOW_CROP_RATIO = 0.6
 FAST_SPACING_WINDOW = 64
+BRIGHTNESS_SHARPNESS_KEEP_RATIO = 0.2   # gs360_FrameSelector.py:339
+BRIGHTNESS_SHARPNESS_MIN_KEEP = 0       # gs360_FrameSelector.py:340
 SEGMENT_BOUNDARY_REOPT_TOP_K = 3
 SEGMENT_BOUNDARY_REOPT_MAX_PASSES = 3
 GROUP_BRIGHTNESS_POWER = 1.5
@@ -342,45 +344,137 @@ def initial_segment_selection(records, metrics, groups) -> Set[int]:
     return selected
 
 
+def _group_center(info) -> float:
+    """Segment center index (gs360_FrameSelector.py:1735-1740)."""
+    if info.end <= info.start:
+        return float(info.start)
+    return (float(info.start) + float(info.end - 1)) * 0.5
+
+
+def _boundary_edge_penalty(left_idx, right_idx, left_info, right_info,
+                           min_diff):
+    """(hard_violation, soft_shortfall) for one boundary edge
+    (gs360_FrameSelector.py:1743-1755)."""
+    if left_idx is None or right_idx is None:
+        return 0, 0.0
+    dist = abs(int(right_idx) - int(left_idx))
+    hard = 1 if (min_diff > 1 and dist < min_diff) else 0
+    target = max(1.0, abs(_group_center(right_info) - _group_center(left_info)))
+    shortfall = max(0.0, target - float(dist)) / target
+    return hard, shortfall
+
+
+def _score_or_neg_inf(metrics, i) -> float:
+    s = metrics[i].score
+    return float(s) if (s is not None and math.isfinite(s)) else float("-inf")
+
+
+def _boundary_pair_objective(left_idx, right_idx, left_g, right_g,
+                             prev_idx, prev_g, next_idx, next_g,
+                             metrics, min_diff, initial_set,
+                             current_left, current_right):
+    """Lexicographic boundary objective (gs360_FrameSelector.py:1758-1800):
+    (fewest hard spacing violations, least center-distance shortfall,
+    highest score sum, prefer initial picks, prefer staying put)."""
+    hard_total = 0
+    shortfall_total = 0.0
+    h, sf = _boundary_edge_penalty(left_idx, right_idx, left_g, right_g,
+                                   min_diff)
+    hard_total += h
+    shortfall_total += sf
+    if prev_g is not None:
+        h, sf = _boundary_edge_penalty(prev_idx, left_idx, prev_g, left_g,
+                                       min_diff)
+        hard_total += h
+        shortfall_total += sf
+    if next_g is not None:
+        h, sf = _boundary_edge_penalty(right_idx, next_idx, right_g, next_g,
+                                       min_diff)
+        hard_total += h
+        shortfall_total += sf
+    score_sum = (_score_or_neg_inf(metrics, left_idx)
+                 + _score_or_neg_inf(metrics, right_idx))
+    initial_pref = (int(left_idx in initial_set)
+                    + int(right_idx in initial_set))
+    stay_pref = -((0 if left_idx == current_left else 1)
+                  + (0 if right_idx == current_right else 1))
+    return (-hard_total, -shortfall_total, score_sum, initial_pref,
+            stay_pref)
+
+
 def boundary_reopt(records, metrics, groups, selected: Set[int],
                    min_diff: int) -> Set[int]:
-    """Local re-optimization at segment boundaries: try replacing each pick
-    with its segment's top-K alternates to raise the total score while
-    keeping min_diff spacing (simplified version of
-    gs360_FrameSelector.py:1803-1912)."""
-    selected = set(selected)
+    """Local boundary re-optimization: for each adjacent segment pair,
+    choose the top-K candidate combination that reduces boundary crowding
+    while preserving sharpness — full port of the reference's
+    refine_segment_selection_boundary_local
+    (gs360_FrameSelector.py:1803-1912)."""
+    if not groups:
+        return set(selected)
+    initial_set = set(selected)
+
+    group_candidates: List[List[int]] = []
+    selected_by_group: List = []
+    for info in groups:
+        existing = [i for i in range(info.start, info.end)
+                    if records[i].exists()]
+        valid = [i for i in existing
+                 if metrics[i].score is not None
+                 and math.isfinite(metrics[i].score)]
+        valid_sorted = sorted(valid,
+                              key=lambda i: (-float(metrics[i].score), i))
+        candidates = valid_sorted[:SEGMENT_BOUNDARY_REOPT_TOP_K]
+        current = None
+        for i in range(info.start, info.end):
+            if i in initial_set:
+                current = i
+                break
+        if current is None:
+            if valid_sorted:
+                current = valid_sorted[0]
+            elif existing:
+                current = existing[0]
+        if current is not None and current not in candidates:
+            candidates.append(current)
+        if not candidates and current is not None:
+            candidates = [current]
+        group_candidates.append(candidates)
+        selected_by_group.append(current)
+
+    if len(groups) < 2:
+        return {i for i in selected_by_group if i is not None}
+
     for _ in range(SEGMENT_BOUNDARY_REOPT_MAX_PASSES):
         changed = False
-        order = sorted(selected)
-        for gi, info in enumerate(groups):
-            current = [i for i in order if info.start <= i < info.end]
-            if not current:
+        for g in range(len(groups) - 1):
+            left_c = group_candidates[g]
+            right_c = group_candidates[g + 1]
+            if not left_c or not right_c:
                 continue
-            cur = current[0]
-            candidates = sorted(
-                (i for i in info.valid_idx if records[i].exists()),
-                key=lambda i: -(metrics[i].score or 0.0),
-            )[:SEGMENT_BOUNDARY_REOPT_TOP_K]
-            neighbors = [i for i in order if i != cur]
-
-            def spacing_ok(idx):
-                return all(abs(idx - nb) > min_diff for nb in neighbors)
-
-            best = cur
-            best_score = metrics[cur].score or 0.0
-            for cand in candidates:
-                if cand == cur or not spacing_ok(cand):
-                    continue
-                if (metrics[cand].score or 0.0) > best_score:
-                    best, best_score = cand, metrics[cand].score or 0.0
-            if best != cur and spacing_ok(best):
-                selected.discard(cur)
-                selected.add(best)
-                order = sorted(selected)
+            cur_l = selected_by_group[g]
+            cur_r = selected_by_group[g + 1]
+            prev_idx = selected_by_group[g - 1] if g > 0 else None
+            next_idx = (selected_by_group[g + 2]
+                        if (g + 2) < len(groups) else None)
+            prev_g = groups[g - 1] if g > 0 else None
+            next_g = groups[g + 2] if (g + 2) < len(groups) else None
+            best_pair = (cur_l, cur_r)
+            best_key = None
+            for li in left_c:
+                for ri in right_c:
+                    key = _boundary_pair_objective(
+                        li, ri, groups[g], groups[g + 1], prev_idx, prev_g,
+                        next_idx, next_g, metrics, min_diff, initial_set,
+                        cur_l, cur_r)
+                    if best_key is None or key > best_key:
+                        best_key = key
+                        best_pair = (li, ri)
+            if best_pair != (cur_l, cur_r):
+                selected_by_group[g], selected_by_group[g + 1] = best_pair
                 changed = True
         if not changed:
             break
-    return selected
+    return {i for i in selected_by_group if i is not None}
 
 
 def _pick_best_between(existing, metrics, used, pos_left, pos_right,
@@ -452,55 +546,133 @@ def prune_low_motion(selected: Set[int], metrics) -> Set[int]:
     return keep
 
 
-def augment_motion_segments(selected: Set[int], existing: List[int],
+def _flow_value(m):
+    """Finite flow magnitude or None (missing flows carry a sentinel)."""
+    f = m.flow
+    if f is None or not math.isfinite(f) or f >= FLOW_MISSING_HIGH_VALUE:
+        return None
+    return float(f)
+
+
+def augment_motion_segments(selected: Set[int], groups, existing: List[int],
                             metrics, min_diff: int) -> Set[int]:
-    """Add mid-gap frames where flow magnitude is high (simplified version
-    of gs360_FrameSelector.py:1537-1607)."""
-    flows = [metrics[i].flow for i in existing
-             if metrics[i].flow and math.isfinite(metrics[i].flow)
-             and metrics[i].flow < FLOW_MISSING_HIGH_VALUE]
-    if not flows:
-        return selected
-    high = float(np.percentile(flows, 100 * (1 - FLOW_HIGH_MOTION_RATIO)))
-    position = {idx: pos for pos, idx in enumerate(existing)}
-    out = set(selected)
-    order = sorted(out)
-    for i in range(len(order) - 1):
-        left, right = order[i], order[i + 1]
-        span = [idx for idx in existing
-                if left < idx < right
-                and metrics[idx].flow and metrics[idx].flow >= high]
-        if not span:
+    """Add extra frames to high-motion SEGMENTS after gap augmentation —
+    full port of the reference's augment_motion_segments
+    (gs360_FrameSelector.py:1537-1607): threshold = max(0.5, P80 of
+    positive flows); per-segment budget = ceil(span/min_diff) minus picks
+    already in the segment, capped at round(span * 0.4); candidates ranked
+    by (flow, score, -index) descending with min_diff spacing."""
+    motion_values = []
+    for i in existing:
+        f = _flow_value(metrics[i])
+        if f is not None and f > 0.0:
+            motion_values.append(f)
+    if not motion_values:
+        return set(selected)
+
+    threshold = max(FLOW_HIGH_MOTION_THRESHOLD,
+                    float(np.percentile(motion_values, 80.0)))
+    augmented = set(selected)
+    existing_set = set(existing)
+    ratio_limit = max(0.0, min(1.0, FLOW_HIGH_MOTION_RATIO))
+    spacing = max(1, min_diff)
+
+    for info in groups:
+        seg = [i for i in range(info.start, info.end)
+               if i in existing_set and metrics[i].score is not None
+               and _flow_value(metrics[i]) is not None]
+        if not seg:
             continue
-        pl, pr = position.get(left), position.get(right)
-        if pl is None or pr is None:
+        seg_motion = max(_flow_value(metrics[i]) for i in seg)
+        if seg_motion < threshold:
             continue
-        cand = _pick_best_between(existing, metrics, out,
-                                  pl, pr, (pl + pr) // 2, min_diff)
-        if cand is not None:
-            out.add(cand)
-    return out
+        current_in_seg = [i for i in augmented
+                          if info.start <= i < info.end]
+        span = max(1, info.end - info.start)
+        budget = max(0, math.ceil(span / spacing) - len(current_in_seg))
+        if budget <= 0:
+            continue
+        if ratio_limit > 0.0:
+            ratio_cap = max(1, int(math.floor(span * ratio_limit + 0.5)))
+            budget = min(budget, ratio_cap)
+            if budget <= 0:
+                continue
+        candidates = [i for i in seg if i not in augmented]
+        if not candidates:
+            continue
+        candidates.sort(key=lambda i: (_flow_value(metrics[i]),
+                                       _score_or_neg_inf(metrics, i), -i),
+                        reverse=True)
+        added = 0
+        for i in candidates:
+            if added >= budget:
+                break
+            if min_diff > 1 and any(abs(i - sel) < min_diff
+                                    for sel in augmented):
+                continue
+            augmented.add(i)
+            added += 1
+    return augmented
+
+
+def _spacing_respects(sorted_selected, candidate, min_diff) -> bool:
+    """min_diff spacing check against a sorted selection
+    (gs360_FrameSelector.py:1067-1078)."""
+    if min_diff <= 1 or not sorted_selected:
+        return True
+    pos = bisect_left(sorted_selected, candidate)
+    if pos > 0 and candidate - sorted_selected[pos - 1] < min_diff:
+        return False
+    if pos < len(sorted_selected) and sorted_selected[pos] - candidate < min_diff:
+        return False
+    return True
 
 
 def augment_lowlight_groups(selected: Set[int], records, metrics,
-                            groups, min_diff: int) -> Set[int]:
-    """Add a second pick in dark segments (simplified version of
-    gs360_FrameSelector.py:1665-1732)."""
-    out = set(selected)
+                            groups, min_diff: int,
+                            keep_ratio: float = BRIGHTNESS_SHARPNESS_KEEP_RATIO,
+                            min_keep: int = BRIGHTNESS_SHARPNESS_MIN_KEEP
+                            ) -> Set[int]:
+    """Brightness-weighted per-segment augmentation — full port of the
+    reference's augment_lowlight_segments (gs360_FrameSelector.py:1665-1732):
+    per-segment budget = max(round(span*keep_ratio), min_keep); candidates
+    ranked by score * brightness^GROUP_BRIGHTNESS_POWER (low-light frames
+    favored), then raw score, then earlier index; min_diff spacing kept."""
+    if keep_ratio <= 0.0 and min_keep <= 0:
+        return set(selected)
+    augmented = set(selected)
     for info in groups:
-        rng = [i for i in info.valid_idx if records[i].exists()]
-        if not rng:
+        span = max(1, info.end - info.start)
+        budget = max(int(round(span * max(0.0, min(1.0, keep_ratio)))),
+                     int(min_keep))
+        if budget <= 0:
             continue
-        dark = [i for i in rng if metrics[i].brightness < HYBRID_DARK_THRESHOLD]
-        if len(dark) < len(rng) / 2:
+        candidates = [
+            i for i in range(info.start, info.end)
+            if records[i].exists() and metrics[i].score is not None
+            and i not in augmented]
+        if not candidates:
             continue
-        remaining = sorted((i for i in rng if i not in out),
-                           key=lambda i: -(metrics[i].score or 0.0))
-        for cand in remaining:
-            if all(abs(cand - s) > min_diff for s in out):
-                out.add(cand)
+
+        def lowlight_score(i):
+            b = max(1e-6, float(metrics[i].brightness))
+            return float(metrics[i].score) * (b ** GROUP_BRIGHTNESS_POWER)
+
+        candidates.sort(key=lambda i: (lowlight_score(i),
+                                       _score_or_neg_inf(metrics, i), -i),
+                        reverse=True)
+        added = 0
+        sorted_selected = sorted(augmented)
+        for i in candidates:
+            if added >= budget:
                 break
-    return out
+            if min_diff > 1 and not _spacing_respects(sorted_selected, i,
+                                                      min_diff):
+                continue
+            augmented.add(i)
+            insort(sorted_selected, i)
+            added += 1
+    return augmented
 
 
 # --------------------------------------------------------------------------
@@ -741,8 +913,9 @@ def _main(argv=None) -> int:
         if args.augment_lowlight and groups:
             final = augment_lowlight_groups(final, records, metrics, groups,
                                             min_diff)
-        if args.augment_motion:
-            final = augment_motion_segments(final, existing, metrics, min_diff)
+        if args.augment_motion and groups:
+            final = augment_motion_segments(final, groups, existing, metrics,
+                                            min_diff)
 
     # commit: CSV + move losers to blur/
     csv_out = None

@@ -119,7 +119,7 @@ def _main(argv=None) -> int:
             return 1
 
     from gs360x.io import video as vio
-    from gs360x.io.image import AsyncImageWriter, from_float01, to_float01
+    from gs360x.io.image import AsyncImageWriter, from_float01
 
     try:
         info = vio.probe_video(in_path)
@@ -150,18 +150,35 @@ def _main(argv=None) -> int:
         print(f"[INFO] fisheye→perspective: {fisheye_kw['size']}px "
               f"hfov={hfov:.1f}° model={args.fisheye_projection}")
 
+    import threading
+
+    from gs360x.runtime.executor import _Prefetcher
+
+    def to_device(rgb):
+        # transfer in source dtype (uint8 = 4x less host->device traffic),
+        # normalize + color-move + optional fisheye cut on device
+        dev = jnp.asarray(rgb)
+        if dev.dtype == jnp.uint8:
+            dev = dev.astype(jnp.float32) * (1.0 / 255.0)
+        elif dev.dtype == jnp.uint16:
+            dev = dev.astype(jnp.float32) * (1.0 / 65535.0)
+        frame = video_color_move(dev, keep_rec709=args.keep_rec709)
+        if fisheye_kw:
+            frame = warplib.warp_fisheye_to_perspective(
+                frame, fisheye_kw["size"], fisheye_kw["hfov"],
+                fisheye_kw["dfov"], model=fisheye_kw["model"])
+        return frame
+
     written = 0
     t0 = time.time()
+    stop = threading.Event()
+    pending = None  # (idx, device frame) dispatched, not yet fetched
+    # software pipeline: decode N+1 (thread) || device work N+1 (queued)
+    # || fetch+encode N (here + writer pool) — same shape as the executor
     with AsyncImageWriter(workers=8) as writer:
-        for idx, _t, rgb in vio.iter_frames(in_path, fps=args.fps,
-                                            start=args.start, end=args.end,
-                                            stream=stream):
-            frame = jnp.asarray(to_float01(rgb))
-            frame = video_color_move(frame, keep_rec709=args.keep_rec709)
-            if fisheye_kw:
-                frame = warplib.warp_fisheye_to_perspective(
-                    frame, fisheye_kw["size"], fisheye_kw["hfov"],
-                    fisheye_kw["dfov"], model=fisheye_kw["model"])
+        def drain(entry):
+            nonlocal written
+            idx, frame = entry
             arr = from_float01(np.asarray(frame), 16 if bit_depth > 8 else 8)
             name = f"{args.prefix}_{idx:07d}{suffix}.{ext}"
             writer.submit(out_dir / name, arr)
@@ -173,6 +190,20 @@ def _main(argv=None) -> int:
                     f"Extracting... {min(100, written * 100 // est_total):3d}%"
                     f" ({written}/{est_total}) ETA {eta:5.1f}s\r")
                 sys.stdout.flush()
+
+        try:
+            for idx, _t, rgb in _Prefetcher(
+                    vio.iter_frames(in_path, fps=args.fps, start=args.start,
+                                    end=args.end, stream=stream), stop):
+                frame = to_device(rgb)
+                if pending is not None:
+                    drain(pending)
+                pending = (idx, frame)
+            if pending is not None:
+                drain(pending)
+                pending = None
+        finally:
+            stop.set()
     if est_total:
         sys.stdout.write("\n")
     print(f"[OK] wrote {written} frame(s) to {out_dir}")

@@ -182,12 +182,47 @@ class TestFallback:
             interp="bicubic", interpret=True, **KW)
         assert out.shape == (1, 128, 256, 3)
 
-    def test_fisheye_falls_back(self):
+    def test_unknown_projection_falls_back(self):
         with pytest.raises(warp_pallas.PallasFallback):
             warp_pallas.warp_equirect_to_views_pallas(
                 SRC, np.array([0.0]), np.array([0.0]), np.array([0.0]),
-                projection="fisheye_v360", interp="bilinear",
+                projection="cylindrical", interp="bilinear",
                 interpret=True, **KW)
+
+
+class TestFisheyeOutputs:
+    """Fisheye output projections (v360 equidistant + lens equisolid) run
+    on the wide-window kernel — the image-circle rim sweeps all
+    longitudes, so only full-width windows can hold its tiles."""
+
+    FKW = dict(width=128, height=128, hfov_deg=180.0, vfov_deg=180.0)
+
+    @pytest.mark.parametrize("projection", ["fisheye_v360", "equisolid"])
+    def test_matches_xla(self, projection):
+        ref = np.asarray(warp.warp_equirect_to_views(
+            SRC, np.array([30.0], np.float32), np.array([0.0], np.float32),
+            np.array([0.0], np.float32), interp="bicubic", backend="xla",
+            projection=projection, **self.FKW))
+        out = warp_pallas.warp_equirect_to_views_pallas(
+            SRC, np.array([30.0]), np.array([0.0]), np.array([0.0]),
+            interp="bicubic", projection=projection, interpret=True,
+            **self.FKW)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+    def test_fisheye_pair_front_back(self):
+        # the fisheyeXY preset shape: front + back 180-deg hemispheres
+        yaws = np.array([0.0, 180.0])
+        zeros = np.zeros(2)
+        ref = np.asarray(warp.warp_equirect_to_views(
+            SRC, yaws.astype(np.float32), zeros.astype(np.float32),
+            zeros.astype(np.float32), interp="bilinear", backend="xla",
+            projection="fisheye_v360", **self.FKW))
+        out = warp_pallas.warp_equirect_to_views_pallas(
+            SRC, yaws, zeros, zeros, interp="bilinear",
+            projection="fisheye_v360", interpret=True, **self.FKW)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+        # corners are outside the image circle -> filled with 0
+        assert np.asarray(out)[0, 0, 0].max() == 0.0
 
     def test_auto_backend_transparent_fallback(self):
         # pitch-90 view via the public API with backend='auto' must succeed
