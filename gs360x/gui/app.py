@@ -10,6 +10,7 @@ live preview canvas drawing view-footprint overlays on the loaded panorama
 from __future__ import annotations
 
 import pathlib
+import threading
 import queue
 import tkinter as tk
 from tkinter import filedialog, ttk
@@ -129,7 +130,40 @@ class ToolTab(ttk.Frame):
             self.append_log(f"[ERR] bad arguments: {exc}\n")
             return
         self.append_log("$ " + " ".join(argv) + "\n")
-        self.app.runner.run(self.module, argv, self.append_log)
+        self._start_output_monitor()
+        self.app.runner.run(self.module, argv, self.append_log,
+                            on_done=lambda rc: self._stop_output_monitor())
+
+    def _start_output_monitor(self):
+        """Poll the output folder and log file-count growth during a run
+        (reference gs360_GUI.py:19196-19267)."""
+        from gs360x.gui.monitor import OutputMonitor
+
+        self._out_monitor = None
+        values = self.values()
+        out = (values.get("out_dir") or values.get("output_dir")
+               or values.get("output") or "")
+        out_path = pathlib.Path(str(out)) if str(out).strip() else None
+        if out_path is None:
+            return
+        out_path.mkdir(parents=True, exist_ok=True)
+
+        def report(pct, done, total):
+            if pct >= 0:
+                self.append_log(
+                    f"[monitor] {pct:3d}% ({done}/{total}) files\n")
+            else:
+                self.append_log(f"[monitor] {done} file(s) written\n")
+
+        mon = OutputMonitor(out_path, ["*"], 0, report, interval_sec=10.0)
+        if mon.start():
+            self._out_monitor = mon
+
+    def _stop_output_monitor(self):
+        mon = getattr(self, "_out_monitor", None)
+        if mon is not None:
+            mon.stop()
+            self._out_monitor = None
 
     def stop(self):
         if self.app.runner.stop(self.module):
@@ -240,10 +274,23 @@ class FrameSelectorTab(ToolTab):
                         command=self.redraw).pack(side="left", padx=8)
         self.status = ttk.Label(bar, text="no CSV loaded")
         self.status.pack(side="left", padx=8)
-        self.chart = tk.Canvas(self, height=220, bg="#181818",
+        mid = ttk.Frame(self)
+        mid.pack(side="top", fill="x", padx=8, pady=4)
+        self.chart = tk.Canvas(mid, height=220, bg="#181818",
                                highlightthickness=0)
-        self.chart.pack(side="top", fill="x", padx=8, pady=4)
+        self.chart.pack(side="left", fill="x", expand=True)
         self._chart_photo = None
+        # frame preview panel (reference gs360_GUI.py:15809-17790 shows
+        # the cursor frame beside the chart)
+        right = ttk.Frame(mid)
+        right.pack(side="left", padx=(6, 0))
+        self.preview_canvas = tk.Canvas(right, width=240, height=180,
+                                        bg="#101010",
+                                        highlightthickness=0)
+        self.preview_canvas.pack(side="top")
+        self.preview_caption = ttk.Label(right, text="")
+        self.preview_caption.pack(side="top")
+        self._preview_photo = None
         for key, fn in (("<Left>", lambda e: self.nav(-1)),
                         ("<Right>", lambda e: self.nav(+1)),
                         ("<space>", lambda e: self.toggle()),
@@ -334,6 +381,32 @@ class FrameSelectorTab(ToolTab):
         self.status.configure(
             text=self.scorereview.summary_line(self.session) + "  " +
             self.scorereview.zoom_label(self.session))
+        self.update_preview()
+
+    def update_preview(self):
+        if not self.session:
+            return
+        in_dir = str(self.values().get("in_dir") or
+                     (pathlib.Path(self.csv_path).parent
+                      if self.csv_path else "."))
+        thumb, caption = self.scorereview.frame_thumbnail(
+            self.session, in_dir, max_edge=240)
+        self.preview_caption.configure(text=caption)
+        self.preview_canvas.delete("all")
+        if thumb is None:
+            return
+        try:
+            from PIL import Image, ImageTk
+
+            self._preview_photo = ImageTk.PhotoImage(
+                Image.fromarray(thumb))
+            self.preview_canvas.configure(width=thumb.shape[1],
+                                          height=thumb.shape[0])
+            self.preview_canvas.create_image(0, 0,
+                                             image=self._preview_photo,
+                                             anchor="nw")
+        except Exception:
+            pass
 
 
 class _ViewerMixin:
@@ -675,6 +748,9 @@ class MaskSegTab(ToolTab):
         self.erase_var = tk.BooleanVar(value=False)
         ttk.Checkbutton(bar, text="erase",
                         variable=self.erase_var).pack(side="left", padx=4)
+        ttk.Button(bar, text="Preview segmentation",
+                   command=self.preview_segmentation).pack(side="left",
+                                                           padx=8)
         self.edit_status = ttk.Label(bar, text="")
         self.edit_status.pack(side="left", padx=8)
         self.paint = tk.Canvas(self, height=300, bg="#101014",
@@ -790,6 +866,59 @@ class MaskSegTab(ToolTab):
         if self.canvas_model:
             self.canvas_model.clear()
             self._redraw()
+
+
+    def preview_segmentation(self):
+        """In-process model preview on the first input image (reference
+        seg preview sheet, gs360_GUI.py:4531-5735)."""
+        values = self.values()
+        in_dir = str(values.get("input_dir") or "")
+        if not in_dir.strip():
+            self.append_log("[ERR] set the input dir first\n")
+            return
+        self.append_log("[INFO] running segmentation preview...\n")
+
+        def work():
+            try:
+                from gs360x.gui.segpreview import preview_first_image
+                from gs360x.models import segmentation as seg
+
+                params = None
+                ckpt = str(values.get("checkpoint") or "").strip()
+                if ckpt:
+                    params = seg.load_checkpoint(pathlib.Path(ckpt))
+                else:
+                    from gs360x.models import synthseg
+                    default = synthseg.default_checkpoint_path()
+                    if default.exists():
+                        params = seg.load_checkpoint(default)
+                name, (overlay, rows) = preview_first_image(
+                    in_dir, params=params,
+                    targets=[str(values.get("target") or "person")])
+                lines = [f"[preview] {name}: {len(rows)} instance(s)"]
+                for r in rows:
+                    lines.append(
+                        f"  {r['class_name']:<12} score={r['score']:.2f} "
+                        f"area={r['area_pct']:.1f}%")
+                self.append_log("\n".join(lines) + "\n")
+                self.app.root.after(0, self._show_preview_overlay, overlay)
+            except Exception as exc:
+                self.append_log(f"[ERR] preview failed: {exc}\n")
+
+        threading.Thread(target=work, daemon=True).start()
+
+    def _show_preview_overlay(self, overlay):
+        try:
+            from PIL import Image, ImageTk
+
+            win = tk.Toplevel(self)
+            win.title("Segmentation preview")
+            photo = ImageTk.PhotoImage(Image.fromarray(overlay))
+            lbl = tk.Label(win, image=photo)
+            lbl.image = photo  # keep a reference
+            lbl.pack()
+        except Exception:
+            pass
 
 
 class ConfigTab(ttk.Frame):

@@ -117,6 +117,7 @@ PERSPCUT_FIELDS: Sequence[Field] = (
     ("add_top", "Add top", "bool", False),
     ("add_bottom", "Add bottom", "bool", False),
     ("fps", "FPS (video)", "str", ""),
+    ("select_csv", "Selection CSV (video)", "path", ""),
     ("ext", "Extension", "str", "jpg"),
     ("backend", "Backend", "choice:auto|pallas|xla", "auto"),
 )
@@ -135,6 +136,7 @@ def build_perspcut_argv(v: Dict) -> List[str]:
     _opt(argv, "--add-top", v.get("add_top"), as_flag=True)
     _opt(argv, "--add-bottom", v.get("add_bottom"), as_flag=True)
     _opt(argv, "-f", v.get("fps"))
+    _opt(argv, "--select-csv", v.get("select_csv"))
     _opt(argv, "--ext", v.get("ext"), "jpg")
     _opt(argv, "--backend", v.get("backend"), "auto")
     return argv

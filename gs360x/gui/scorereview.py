@@ -215,10 +215,42 @@ def apply_argv(csv_path, in_dir) -> List[str]:
             str(pathlib.Path(csv_path))]
 
 
+def frame_thumbnail(session: ReviewSession, in_dir, max_edge: int = 320):
+    """Cursor frame's image as a thumbnail array (the reference review
+    window shows the frame beside the chart, gs360_GUI.py:15809-17790).
+
+    Returns ``(thumb_u8 | None, caption)``; pair-mode rows fall back to
+    the X-lens filename. Pure numpy decimation — no Tk here.
+    """
+    if not session.entries:
+        return None, "no entries"
+    e = session.entries[session.cursor]
+    base = pathlib.Path(in_dir)
+    names = [e.filename, e.raw.get("x_filename", ""),
+             e.raw.get("y_filename", "")]
+    path = next((base / n for n in names if n and (base / n).exists()),
+                None)
+    if path is None:
+        return None, f"{e.filename}: file not found"
+    try:
+        from gs360x.io.image import read_image, to_float01
+
+        rgb = read_image(path)
+        if rgb.dtype != np.uint8:
+            rgb = (to_float01(rgb) * 255).astype(np.uint8)
+    except Exception as exc:
+        return None, f"{e.filename}: {exc}"
+    h, w = rgb.shape[:2]
+    step = max(1, int(np.ceil(max(h, w) / float(max_edge))))
+    thumb = rgb[::step, ::step]
+    return thumb, f"{path.name}  {w}x{h}"
+
+
 def zoom_label(session: ReviewSession) -> str:
     pct = 100.0 * session.view_count / max(1, len(session.entries))
     return f"view {session.view_start}..{session.view_start + session.view_count - 1} ({pct:.0f}%)"
 
 
 __all__ = ["ReviewSession", "ScoreEntry", "render_chart", "summary_line",
-           "apply_argv", "zoom_label", "LOW_SCORE_PERCENTILE"]
+           "apply_argv", "zoom_label", "frame_thumbnail",
+           "LOW_SCORE_PERCENTILE"]

@@ -53,6 +53,9 @@ def from_float01(img: np.ndarray, bit_depth: int = 8) -> np.ndarray:
 
 def read_image(path) -> np.ndarray:
     """Read an image as (H, W, 3) uint8 or uint16 RGB."""
+    p16 = _read_png16_rgb(path)
+    if p16 is not None:
+        return p16
     with Image.open(path) as im:
         if im.mode in ("I;16", "I;16B", "I"):
             arr = np.asarray(im, dtype=np.uint16)
@@ -60,6 +63,81 @@ def read_image(path) -> np.ndarray:
         if im.mode != "RGB":
             im = im.convert("RGB")
         return np.asarray(im)
+
+
+def _read_png16_rgb(path):
+    """16-bit RGB PNG reader (PIL lacks the mode). Returns None unless the
+    file is a PNG with bit depth 16 and color type 2 (truecolor)."""
+    import struct
+    import zlib
+
+    path = pathlib.Path(path)
+    if path.suffix.lower() != ".png":
+        return None
+    try:
+        with open(path, "rb") as f:
+            if f.read(8) != b"\x89PNG\r\n\x1a\n":
+                return None
+            w = h = None
+            idat = bytearray()
+            while True:
+                head = f.read(8)
+                if len(head) < 8:
+                    break
+                (length,), tag = struct.unpack(">I", head[:4]), head[4:]
+                payload = f.read(length)
+                f.read(4)  # crc
+                if tag == b"IHDR":
+                    w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+                    if depth != 16 or ctype != 2 \
+                            or payload[10:13] != b"\x00\x00\x00":
+                        return None
+                elif tag == b"IDAT":
+                    idat.extend(payload)
+                elif tag == b"IEND":
+                    break
+            if w is None or not idat:
+                return None
+            raw = zlib.decompress(bytes(idat))
+    except (OSError, zlib.error, struct.error):
+        return None
+    stride = w * 6
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        filt = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+        if filt == 0:
+            row = line.copy()
+        elif filt == 2:  # Up
+            row = (line.astype(np.int32) + prev).astype(np.uint8)
+        else:
+            # Sub/Average/Paeth need sequential decode; rare from our
+            # writer (filter 0) — fall back to per-byte decoding
+            row = _png_unfilter_slow(filt, line, prev, bpp=6)
+        out[y] = row
+        prev = row
+    arr = out.reshape(h, w, 3, 2)
+    return (arr[..., 0].astype(np.uint16) << 8) | arr[..., 1]
+
+
+def _png_unfilter_slow(filt, line, prev, bpp):
+    row = np.zeros(len(line), np.uint8)
+    for i in range(len(line)):
+        x = int(line[i])
+        a = int(row[i - bpp]) if i >= bpp else 0
+        b = int(prev[i])
+        c = int(prev[i - bpp]) if i >= bpp else 0
+        if filt == 1:
+            x += a
+        elif filt == 3:
+            x += (a + b) // 2
+        elif filt == 4:
+            pp = a + b - c
+            pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+            x += a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        row[i] = x & 0xFF
+    return row
 
 
 def read_image_gray(path) -> np.ndarray:
@@ -94,20 +172,58 @@ def write_image(path, img: np.ndarray, *, jpeg_quality: Optional[int] = None,
         if ext in (".jpg", ".jpeg"):
             img = (img >> 8).astype(np.uint8)
         elif img.ndim == 3:
-            # PIL has no 16-bit RGB; persist via raw TIFF writer
-            _write_tiff16_rgb(path, img)
+            # PIL has no 16-bit RGB; raw writers cover the reference's
+            # rgb48le outputs (gs360_Video2Frames.py:540-545)
+            if ext == ".png":
+                _write_png16_rgb(path, img)
+            else:
+                _write_tiff16_rgb(path, img)
             return
     if img.ndim == 2:
         pil = Image.fromarray(img)
     else:
         pil = Image.fromarray(img[..., :3])
     if ext in (".jpg", ".jpeg"):
+        # reference encode contract (gs360_Video2Frames.py:517-537):
+        # top-quality mjpeg at 4:4:4 with optimal huffman tables maps to
+        # PIL quality=98..100, subsampling=0, optimize=True
         q = 98 if jpeg_quality is None else int(jpeg_quality)
-        pil.save(path, quality=q, subsampling=0)
+        pil.save(path, quality=q, subsampling=0, optimize=True)
     elif ext in (".tif", ".tiff"):
+        # lossless deflate, like the reference's -compression_algo deflate
         pil.save(path, compression="tiff_deflate")
     else:
         pil.save(path)
+
+
+def _write_png16_rgb(path, img: np.ndarray) -> None:
+    """Minimal 16-bit RGB PNG (the reference's rgb48le PNG analogue).
+
+    PIL cannot write 16-bit RGB PNGs; the format itself is simple:
+    zlib-compressed scanlines with filter byte 0 and big-endian samples.
+    """
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    be = np.ascontiguousarray(img.astype(">u2"))
+    raw = bytearray()
+    row_bytes = be.tobytes()
+    stride = w * 6
+    for y in range(h):
+        raw.append(0)  # filter: None
+        raw.extend(row_bytes[y * stride:(y + 1) * stride])
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)  # 16-bit RGB
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(bytes(raw), 6)))
+        f.write(chunk(b"IEND", b""))
 
 
 def _write_tiff16_rgb(path, img: np.ndarray) -> None:

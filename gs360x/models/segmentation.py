@@ -118,15 +118,21 @@ def create_train_state(rng: jax.Array, learning_rate: float = 1e-3,
         apply_fn=create_model().apply, params=params, tx=tx)
 
 
-@jax.jit
-def train_step(state, images: jnp.ndarray, labels: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("fg_weight",))
+def train_step(state, images: jnp.ndarray, labels: jnp.ndarray,
+               fg_weight: float = 1.0):
     """One optimization step. ``images``: (B,H,W,3) float; ``labels``:
-    (B,H,W) int class ids. Returns (new_state, loss)."""
+    (B,H,W) int class ids. Returns (new_state, loss). ``fg_weight`` > 1
+    up-weights non-background pixels (subjects typically cover ~10% of a
+    frame, so unweighted CE under-predicts foreground)."""
 
     def loss_fn(params):
         logits = state.apply_fn({"params": params}, images, train=True)
         onehot = jax.nn.one_hot(labels, NUM_CLASSES)
         ce = -jnp.sum(onehot * jax.nn.log_softmax(logits), axis=-1)
+        if fg_weight != 1.0:
+            w = jnp.where(labels > 0, fg_weight, 1.0)
+            return jnp.sum(ce * w) / jnp.sum(w)
         return jnp.mean(ce)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)

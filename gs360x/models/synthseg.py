@@ -1,0 +1,202 @@
+"""Synthetic labeled corpus + default segmentation checkpoint builder.
+
+The reference tool works out of the box because it downloads COCO Mask
+R-CNN weights at first use (``gs360_SegmentationMaskTool.py:262-288``);
+this deployment has no network egress, so the equivalent "works out of
+the box" capability is built ON DEVICE the first time it's needed: a
+procedurally generated labeled corpus (class-distinct shape families over
+textured backgrounds) trains the Flax U-Net into a checkpoint cached at
+``~/.cache/gs360x/seg_default_v1``. The synthetic classes carry the same
+ids the tool's targets map to, so every downstream mode (keep/remove/
+inpaint, refine, expand) exercises identically. For production-grade
+photographic masks, fine-tune with ``gs360x-segtrain`` on real labels —
+the tool says so when it falls back to the default.
+"""
+
+from __future__ import annotations
+
+import math
+import pathlib
+
+import numpy as np
+
+from gs360x.models.segmentation import CLASS_TO_INDEX
+
+DEFAULT_CHECKPOINT_VERSION = "seg_default_v1"
+
+
+def default_checkpoint_path() -> pathlib.Path:
+    return (pathlib.Path.home() / ".cache" / "gs360x"
+            / DEFAULT_CHECKPOINT_VERSION)
+
+
+def _texture(rng, h, w, base, amp=0.25, freq=6.0):
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                         indexing="ij")
+    ph = rng.uniform(0, 2 * math.pi, 6)
+    t = (np.sin(freq * 2 * math.pi * xx + ph[0])
+         + np.sin(freq * 1.3 * 2 * math.pi * yy + ph[1])
+         + np.sin(freq * 0.7 * 2 * math.pi * (xx + yy) + ph[2]))
+    out = np.empty((h, w, 3), np.float32)
+    for c in range(3):
+        out[..., c] = np.clip(
+            base[c] + amp * t / 3.0
+            + 0.05 * rng.standard_normal((h, w)), 0, 1)
+    return out
+
+
+def _ellipse_mask(h, w, cy, cx, ry, rx, angle=0.0):
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    ca, sa = math.cos(angle), math.sin(angle)
+    dy, dx = yy - cy, xx - cx
+    u = (ca * dx + sa * dy) / max(rx, 1.0)
+    v = (-sa * dx + ca * dy) / max(ry, 1.0)
+    return (u * u + v * v) <= 1.0
+
+
+def _draw_person(rng, h, w):
+    """Vertical capsule (torso+legs) with a head disc — tall aspect."""
+    cy = rng.uniform(0.45, 0.7) * h
+    cx = rng.uniform(0.2, 0.8) * w
+    height = rng.uniform(0.3, 0.55) * h
+    width = height * rng.uniform(0.22, 0.35)
+    m = _ellipse_mask(h, w, cy, cx, height / 2, width / 2)
+    head_r = width * rng.uniform(0.45, 0.6)
+    m |= _ellipse_mask(h, w, cy - height / 2 - head_r * 0.6, cx,
+                       head_r, head_r)
+    return m
+
+
+def _draw_car(rng, h, w, long=True):
+    """Horizontal rounded body + cabin bump + two wheel discs."""
+    cy = rng.uniform(0.55, 0.8) * h
+    cx = rng.uniform(0.25, 0.75) * w
+    length = rng.uniform(0.35, 0.6) * w * (1.2 if long else 0.8)
+    ht = length * rng.uniform(0.22, 0.3)
+    m = _ellipse_mask(h, w, cy, cx, ht / 2, length / 2)
+    m |= _ellipse_mask(h, w, cy - ht * 0.5, cx, ht * 0.45, length * 0.28)
+    for s in (-0.3, 0.3):
+        m |= _ellipse_mask(h, w, cy + ht * 0.45, cx + s * length,
+                           ht * 0.28, ht * 0.28)
+    return m
+
+
+def _draw_twowheeler(rng, h, w):
+    """Two wheel rings + slanted frame bar — sparse, thin structure."""
+    cy = rng.uniform(0.55, 0.8) * h
+    cx = rng.uniform(0.3, 0.7) * w
+    wb = rng.uniform(0.2, 0.35) * w
+    r = wb * rng.uniform(0.3, 0.4)
+    m = np.zeros((h, w), bool)
+    for s in (-0.5, 0.5):
+        outer = _ellipse_mask(h, w, cy, cx + s * wb, r, r)
+        inner = _ellipse_mask(h, w, cy, cx + s * wb, r * 0.55, r * 0.55)
+        m |= outer & ~inner
+    m |= _ellipse_mask(h, w, cy - r * 0.7, cx, r * 0.3, wb * 0.55,
+                       angle=rng.uniform(-0.3, 0.3))
+    return m
+
+
+def _draw_animal(rng, h, w):
+    """Horizontal body blob + head + leg stubs — low, wide aspect."""
+    cy = rng.uniform(0.55, 0.8) * h
+    cx = rng.uniform(0.25, 0.75) * w
+    length = rng.uniform(0.25, 0.45) * w
+    ht = length * rng.uniform(0.4, 0.55)
+    m = _ellipse_mask(h, w, cy, cx, ht / 2, length / 2)
+    m |= _ellipse_mask(h, w, cy - ht * 0.25, cx + length * 0.55,
+                       ht * 0.35, ht * 0.35)
+    for s in (-0.3, -0.1, 0.1, 0.3):
+        m |= _ellipse_mask(h, w, cy + ht * 0.55, cx + s * length,
+                           ht * 0.35, ht * 0.12)
+    return m
+
+
+_CLASS_DRAWERS = {
+    "person": _draw_person,
+    "bicycle": _draw_twowheeler,
+    "car": lambda rng, h, w: _draw_car(rng, h, w, long=False),
+    "motorcycle": _draw_twowheeler,
+    "bus": lambda rng, h, w: _draw_car(rng, h, w, long=True),
+    "truck": lambda rng, h, w: _draw_car(rng, h, w, long=True),
+    "bird": _draw_animal,
+    "cat": _draw_animal,
+    "dog": _draw_animal,
+}
+
+# distinct appearance per class family so the net has a learnable cue
+_CLASS_BASE = {
+    "person": (0.75, 0.35, 0.30), "bicycle": (0.25, 0.25, 0.30),
+    "car": (0.30, 0.45, 0.75), "motorcycle": (0.35, 0.30, 0.35),
+    "bus": (0.85, 0.75, 0.25), "truck": (0.55, 0.60, 0.65),
+    "bird": (0.55, 0.70, 0.40), "cat": (0.65, 0.55, 0.40),
+    "dog": (0.50, 0.40, 0.30),
+}
+
+
+def generate_scene(rng: np.random.Generator, size: int = 128,
+                   max_subjects: int = 3):
+    """One synthetic scene: (image f32 (S,S,3), labels int32 (S,S))."""
+    h = w = size
+    sky = _texture(rng, h, w, rng.uniform(0.4, 0.8, 3), amp=0.1, freq=2)
+    ground = _texture(rng, h, w, rng.uniform(0.2, 0.55, 3), amp=0.2, freq=8)
+    horizon = int(rng.uniform(0.3, 0.6) * h)
+    img = sky.copy()
+    img[horizon:] = ground[horizon:]
+    labels = np.zeros((h, w), np.int32)
+
+    names = list(_CLASS_DRAWERS)
+    for _ in range(rng.integers(1, max_subjects + 1)):
+        name = names[rng.integers(len(names))]
+        m = _CLASS_DRAWERS[name](rng, h, w)
+        if not m.any():
+            continue
+        tex = _texture(rng, h, w,
+                       np.clip(np.asarray(_CLASS_BASE[name])
+                               + rng.uniform(-0.08, 0.08, 3), 0, 1),
+                       amp=0.12, freq=10)
+        img[m] = tex[m]
+        labels[m] = CLASS_TO_INDEX[name]
+    return img.astype(np.float32), labels
+
+
+def generate_corpus(n_scenes: int = 256, size: int = 128, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    imgs, labs = [], []
+    for _ in range(n_scenes):
+        img, lab = generate_scene(rng, size=size)
+        imgs.append(img)
+        labs.append(lab)
+    return np.stack(imgs), np.stack(labs)
+
+
+def build_default_checkpoint(path=None, *, steps: int = 400,
+                             n_scenes: int = 256, size: int = 128,
+                             batch: int = 16, seed: int = 0,
+                             verbose: bool = True) -> pathlib.Path:
+    """Train the U-Net on the synthetic corpus and save the checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from gs360x.models import segmentation as seg
+
+    path = pathlib.Path(path) if path else default_checkpoint_path()
+    images, labels = generate_corpus(n_scenes=n_scenes, size=size,
+                                     seed=seed)
+    state = seg.create_train_state(jax.random.key(seed), 1e-3,
+                                   input_size=size)
+    rng = np.random.default_rng(seed + 1)
+    for step in range(steps):
+        idx = rng.integers(0, len(images), batch)
+        state, loss = seg.train_step(state, jnp.asarray(images[idx]),
+                                     jnp.asarray(labels[idx]),
+                                     fg_weight=4.0)
+        if verbose and (step + 1) % max(1, steps // 10) == 0:
+            print(f"[synthseg] step {step + 1}/{steps} "
+                  f"loss {float(loss):.3f}", flush=True)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    seg.save_checkpoint(path, state.params)
+    if verbose:
+        print(f"[synthseg] default checkpoint saved: {path}")
+    return path

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pathlib
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, Optional, Set, Tuple
 
 
 @dataclass(frozen=True)
@@ -52,6 +52,10 @@ class RenderPlan:
     out_dir: Optional[pathlib.Path] = None
     video_mode: bool = False
     fps: Optional[float] = None
+    # video mode: export only these extracted-frame indices (FrameSelector
+    # CSV replay — the GUI's "apply selection to video export" path); the
+    # output numbering keeps the original indices
+    selected_frames: Optional[Set[int]] = None
     start_time: Optional[float] = None
     end_time: Optional[float] = None
     keep_rec709: bool = False

@@ -451,6 +451,9 @@ def _run_video_sharded(plan, writer, report, stop_event, tick, interp,
             depth=n_dev + 1):
         if stop_event.is_set():
             return
+        if plan.selected_frames is not None \
+                and idx not in plan.selected_frames:
+            continue  # CSV frame selection
         batch_idx.append(idx)
         batch_rgb.append(np.ascontiguousarray(rgb))
         if len(batch_rgb) == n_dev:
@@ -519,6 +522,9 @@ def _run_video(plan, writer, report, stop_event, tick, backend, interp,
             timers.wrap_iter("decode", frame_iter), stop_event):
         if stop_event.is_set():
             return
+        if plan.selected_frames is not None \
+                and idx not in plan.selected_frames:
+            continue  # CSV frame selection: original numbering preserved
         # video color chain (Rec709 -> SMPTE170M [+ sRGB trc]) fused into
         # the warp call (applied on the warped planar outputs)
         with timers.stage("warp_dispatch"):

@@ -830,6 +830,12 @@ def _main(argv=None) -> int:
         return 0
     print(f"[INFO] {total} record(s), input_mode={input_mode}")
 
+    # cooperative cancellation: SIGINT (KeyboardInterrupt) or a lone 'q'
+    # on stdin (reference gs360_FrameSelector.py:202-222)
+    cancel = threading.Event()
+    from gs360x.runtime.cancel import start_cancel_listener
+    start_cancel_listener(cancel)
+
     metrics = [FrameMetrics() for _ in range(total)]
     metric = args.metric
     if args.score_backend == "ffmpeg":
@@ -884,6 +890,11 @@ def _main(argv=None) -> int:
             skipped = total - len(futures)
             done = skipped
             for fut in cf.as_completed(futures):
+                if cancel.is_set():
+                    pool.shutdown(wait=False, cancel_futures=True)
+                    print("[STOPPED] cancelled during scoring",
+                          file=sys.stderr)
+                    return 130
                 idx, m = fut.result()
                 with lock:
                     metrics[idx] = m

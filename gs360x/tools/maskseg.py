@@ -247,7 +247,14 @@ def create_arg_parser() -> argparse.ArgumentParser:
                     default=DEFAULT_EDGE_FUSE_PIXELS)
     ap.add_argument("--manual-mask-dir", default=None)
     ap.add_argument("--checkpoint", default=None,
-                    help="Orbax checkpoint with pretrained model params")
+                    help="Orbax checkpoint with pretrained model params "
+                         "(default: the cached synthetic-corpus default)")
+    ap.add_argument("--allow-random", action="store_true",
+                    help="Proceed with randomly initialized weights when "
+                         "no checkpoint is available (debug only)")
+    ap.add_argument("--build-default", action="store_true",
+                    help="Build the default checkpoint (trains the U-Net "
+                         "on a generated corpus, cached in ~/.cache)")
     ap.add_argument("--score-thresh", type=float, default=seg.SCORE_THRESH)
     ap.add_argument("--mask-thresh", type=float, default=seg.MASK_THRESH)
     return ap
@@ -314,9 +321,35 @@ def _main(argv=None) -> int:
             print(f"[ERR] failed to load checkpoint: {exc}", file=sys.stderr)
             return 1
     else:
-        print("[WARN] no --checkpoint given: the segmentation net is "
-              "randomly initialized (structural output only)",
-              file=sys.stderr)
+        # the reference downloads COCO weights at first use
+        # (gs360_SegmentationMaskTool.py:262-288); offline, the default
+        # capability is the cached synthetic-corpus checkpoint
+        from gs360x.models import synthseg
+        default = synthseg.default_checkpoint_path()
+        if args.build_default and not default.exists():
+            print("[INFO] building default checkpoint (one-time, trains "
+                  "the U-Net on a generated corpus)...")
+            synthseg.build_default_checkpoint(default)
+        if default.exists():
+            try:
+                params = seg.load_checkpoint(default)
+                print(f"[INFO] loaded default checkpoint: {default}")
+                print("[INFO] (synthetic-corpus weights; fine-tune with "
+                      "gs360x-segtrain for photographic masks)")
+            except Exception as exc:
+                print(f"[ERR] failed to load default checkpoint: {exc}",
+                      file=sys.stderr)
+                return 1
+        elif args.allow_random:
+            print("[WARN] --allow-random: the segmentation net is "
+                  "randomly initialized (structural output only)",
+                  file=sys.stderr)
+        else:
+            print("[ERR] no segmentation weights: pass --checkpoint, or "
+                  "--build-default to create the cached default, or "
+                  "--allow-random to proceed with random weights",
+                  file=sys.stderr)
+            return 1
     predictor = seg.SegmentationPredictor(params)
     print(f"[INFO] {len(files)} image(s), targets={targets}, "
           f"mode={args.mode}")

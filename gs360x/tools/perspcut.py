@@ -107,6 +107,10 @@ def create_arg_parser() -> argparse.ArgumentParser:
                          "(decode/warp/fetch) after the run.")
     ap.add_argument("--no-overwrite", action="store_true",
                     help="Skip outputs that already exist (resume)")
+    ap.add_argument("--select-csv", dest="select_csv", default=None,
+                    help="FrameSelector CSV: export only frames marked "
+                         "selected (video inputs; use the CSV's "
+                         "extraction fps for -f)")
     return ap
 
 
@@ -148,6 +152,34 @@ def print_info_lines(plan: RenderPlan) -> None:
             print(plan.metashape_line)
 
 
+def read_selection_csv(path: pathlib.Path):
+    """FrameSelector CSV -> set of selected extracted-frame indices.
+
+    The GUI's "apply frame selection to video export" rewrite
+    (gs360_GUI.py:19081-19148): instead of splicing ffmpeg select
+    filters, the executor replays the CSV's index column against the
+    same-fps frame iterator and keeps the original numbering.
+    """
+    import csv as csvlib
+
+    selected = set()
+    with open(path, newline="") as f:
+        rd = csvlib.DictReader(f)
+        if rd.fieldnames is None or "index" not in rd.fieldnames:
+            raise ValueError("not a FrameSelector CSV (no 'index' column)")
+        flag_col = next((c for c in rd.fieldnames
+                         if c.startswith("selected")), None)
+        if flag_col is None:
+            raise ValueError("no 'selected' column")
+        for row in rd:
+            try:
+                if int(float(row[flag_col])) == 1:
+                    selected.add(int(row["index"]))
+            except (TypeError, ValueError):
+                continue
+    return selected
+
+
 def main(argv=None) -> int:
     ap = create_arg_parser()
     args = ap.parse_args(argv)
@@ -186,6 +218,20 @@ def main(argv=None) -> int:
 
     plan = build_view_plan(config_from_args(args), files, out_dir)
 
+    if args.select_csv:
+        if not args.input_is_video:
+            print("[ERR] --select-csv applies to video inputs only",
+                  file=sys.stderr)
+            return 1
+        try:
+            plan.selected_frames = read_selection_csv(
+                pathlib.Path(args.select_csv).expanduser().resolve())
+        except Exception as exc:
+            print(f"[ERR] cannot read selection CSV: {exc}", file=sys.stderr)
+            return 1
+        print(f"[INFO] CSV frame selection: {len(plan.selected_frames)} "
+              "frame(s) (match the CSV's extraction fps with -f)")
+
     if args.dry_run:
         for job in plan.jobs:
             print(plan_line(job))
@@ -216,6 +262,11 @@ def main(argv=None) -> int:
         signal.signal(signal.SIGTERM, on_signal)
     except (ValueError, OSError):
         pass  # not the main thread
+
+    # interactive 'q' cancel on a TTY (reference
+    # gs360_FrameSelector.py:202-222; shared across long-running tools)
+    from gs360x.runtime.cancel import start_cancel_listener
+    start_cancel_listener(stop_event)
 
     from gs360x.runtime.executor import run_plan
     report = run_plan(plan, backend=args.backend,

@@ -83,10 +83,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
     ap = argparse.ArgumentParser(
         description="Train the gs360x segmentation U-Net on labeled masks.")
-    ap.add_argument("-i", "--image-dir", required=True)
-    ap.add_argument("-m", "--mask-dir", required=True,
+    ap.add_argument("--make-default", action="store_true",
+                    help="Build the synthetic-corpus default checkpoint "
+                         "used by gs360x-maskseg when no --checkpoint is "
+                         "given (cached in ~/.cache/gs360x)")
+    ap.add_argument("-i", "--image-dir", required=False, default=None)
+    ap.add_argument("-m", "--mask-dir", required=False, default=None,
                     help="Same-stem mask PNGs (pixel value = class id)")
-    ap.add_argument("-o", "--checkpoint", required=True,
+    ap.add_argument("-o", "--checkpoint", required=False, default=None,
                     help="Output Orbax checkpoint directory")
     ap.add_argument("--resume", default=None,
                     help="Existing checkpoint to fine-tune from")
@@ -116,6 +120,16 @@ def main(argv=None) -> int:
 
 def _main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
+    if args.make_default:
+        from gs360x.models import synthseg
+        path = (pathlib.Path(args.checkpoint).resolve() if args.checkpoint
+                else synthseg.default_checkpoint_path())
+        synthseg.build_default_checkpoint(path)
+        return 0
+    if not (args.image_dir and args.mask_dir and args.checkpoint):
+        print("[ERR] -i/--image-dir, -m/--mask-dir and -o/--checkpoint are "
+              "required (or use --make-default)", file=sys.stderr)
+        return 2
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec

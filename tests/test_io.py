@@ -137,6 +137,29 @@ def gradient_frames(n=10, w=64, h=32):
     return frames
 
 
+class TestPng16:
+    def test_rgb48_png_round_trip(self, tmp_path):
+        # the reference writes rgb48le PNGs via ffmpeg
+        # (gs360_Video2Frames.py:540-545); PIL lacks 16-bit RGB PNG, so
+        # write_image/read_image carry their own codec
+        from gs360x.io.image import read_image, write_image
+
+        img = (np.random.default_rng(3).random((41, 67, 3))
+               * 65535).astype(np.uint16)
+        write_image(tmp_path / "deep.png", img)
+        back = read_image(tmp_path / "deep.png")
+        assert back.dtype == np.uint16
+        np.testing.assert_array_equal(back, img)
+
+    def test_png16_readable_header(self, tmp_path):
+        from gs360x.io.image import write_image
+
+        img = np.zeros((8, 8, 3), np.uint16)
+        write_image(tmp_path / "z.png", img)
+        head = (tmp_path / "z.png").read_bytes()[:8]
+        assert head == b"\x89PNG\r\n\x1a\n"
+
+
 class TestY4M:
     def test_round_trip_444(self, tmp_path):
         frames = gradient_frames()

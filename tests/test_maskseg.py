@@ -173,7 +173,7 @@ class TestCli:
         rc = maskseg.main(["-i", str(in_dir), "-o", str(out),
                            "--manual-mask-dir", str(manual),
                            "--mask-expand-pixels", "0",
-                           "--edge-fuse-pixels", "0",
+                           "--edge-fuse-pixels", "0", "--allow-random",
                            "--score-thresh", "1.1"])  # suppress random dets
         assert rc == 0
         mask = np.asarray(Image.open(out / "frame_0001_A.png"))
@@ -193,7 +193,8 @@ class TestCli:
                            ("inpaint", "x_inpaint.png")]:
             out = tmp_path / f"o_{mode}"
             rc = maskseg.main(["-i", str(in_dir), "-o", str(out),
-                               "--mode", mode, "--score-thresh", "1.1"])
+                               "--mode", mode, "--allow-random",
+                               "--score-thresh", "1.1"])
             assert rc == 0
             assert (out / name).exists(), mode
 

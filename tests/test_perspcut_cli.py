@@ -97,6 +97,41 @@ class TestVideoMode:
         assert "clip_0000000_A.png" in names
         assert "clip_0000004_D.png" in names
 
+    def test_select_csv_filters_frames(self, tmp_path):
+        # FrameSelector-CSV replay: only rows flagged selected export,
+        # keeping original frame numbering (gs360_GUI.py:19081-19148)
+        import csv
+
+        clip = tmp_path / "clip.y4m"
+        vio.write_y4m(clip, [make_pano(128, 64) for _ in range(10)],
+                      fps=10.0)
+        sel = tmp_path / "sel.csv"
+        with open(sel, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["index", "input_mode", "filename", "pair_base",
+                        "x_filename", "y_filename", "score",
+                        "brightness_mean", "group_score", "flow_motion",
+                        "selected(1=keep)"])
+            for i in range(5):
+                w.writerow([i, "single", f"out_{i:07d}.jpg", "", "", "",
+                            0.5, 0.5, 1.0, 0.0, 1 if i in (1, 3) else 0])
+        out = tmp_path / "sel_out"
+        rc = perspcut.main(["-i", str(clip), "-o", str(out), "-f", "5",
+                            "--size", "32", "--ext", "png", "--count", "2",
+                            "--select-csv", str(sel)])
+        assert rc == 0
+        names = sorted(p.name for p in out.iterdir())
+        assert names == ["clip_0000001_A.png", "clip_0000001_B.png",
+                         "clip_0000003_A.png", "clip_0000003_B.png"]
+
+    def test_select_csv_rejects_image_mode(self, tmp_path, capsys):
+        d = tmp_path / "imgs"
+        d.mkdir()
+        im.write_image(d / "a.jpg", make_pano(64, 32))
+        rc = perspcut.main(["-i", str(d), "--select-csv", "x.csv"])
+        assert rc == 1
+        assert "video inputs only" in capsys.readouterr().err
+
     def test_video_requires_fps(self, tmp_path, capsys):
         clip = tmp_path / "clip.y4m"
         vio.write_y4m(clip, [make_pano(64, 32)], fps=10.0)
