@@ -192,26 +192,145 @@ def build_points_outputs(ply_path, out_dir, world_rot, pc_rotate_x_deg,
 # --------------------------------------------------------------------------
 
 
-def export_metashape_multi_camera_xml(out_path, frames, intrinsics, views):
-    """Generate an MCS rig XML: sensor 0 = master (view A), others slaves
-    with rig-relative <rotation> and zeroed <reference> offsets; cameras
-    grouped per source frame with the master's transform."""
+# fisheyelike MCS slave offsets: calibrated Reference/Adjusted rotation
+# constants from the reference\'s Metashape-accepted rig template
+# (gs360_MS360xmlToPersCams.py:81-228 /
+# templates/perspective_cams_Multi-Camera-System.xml). Rotations are
+# omega/phi/kappa degrees; locations are meters (None = omit the node).
+MCS_ROTATION_ACCURACY = "0.10000000000000001"
+MCS_FISHEYELIKE_SLAVE_OFFSETS = {
+    "A_D": {"location": None,
+            "reference_rotation":
+                "-30 -1.0000000000000001e-09 1.0000000000000001e-09",
+            "adjusted_rotation":
+                "1 1.7453292519943295e-11 1.7453292519943295e-11 "
+                "-2.3841685560428086e-11 0.86602191310483012 "
+                "0.50000604598569609 -6.3881819957709397e-12 "
+                "-0.50000604598569609 0.86602191310483012"},
+    "A_U": {"location": None,
+            "reference_rotation":
+                "30 1.0000000000000001e-09 -1.0000000000000001e-09",
+            "adjusted_rotation":
+                "1 -1.7453292519943295e-11 -1.7453292519943295e-11 "
+                "6.3880987725495763e-12 0.86602016774919766 "
+                "-0.50000906896940533 2.3841707859244642e-11 "
+                "0.50000906896940533 0.86602016774919766"},
+    "B": {"location": None,
+          "reference_rotation":
+              "-1.0000000000000001e-09 -36 -1.0000000000000001e-09",
+          "adjusted_rotation":
+              "0.80901699437494745 -1.4120010256431277e-11 "
+              "0.58778525229247314 7.1945045727740908e-12 1 "
+              "1.4120010256431277e-11 -0.58778525229247314 "
+              "-7.1945045727740908e-12 0.80901699437494745"},
+    "E": {"location": "0.0016815735845178558 -0.002587362402607621 "
+                      "-0.0091133641591967102",
+          "reference_rotation": "179.999 -36 179.999",
+          "adjusted_rotation":
+              "-0.80901699425172713 1.4120010255956319e-05 "
+              "0.58778525229247314 7.1945045714363033e-06 "
+              "0.99999999987443222 -1.4120010255956319e-05 "
+              "-0.58778525241804092 -7.1945045714363033e-06 "
+              "-0.80901699425172713"},
+    "F": {"location": "0.0015400348723170199 -0.0024766844652872205 "
+                      "-0.008990779308733465",
+          "reference_rotation": "179.999 1.0000000000000001e-09 179.999",
+          "adjusted_rotation":
+              "-0.99999999984769128 1.7453292519356215e-05 "
+              "-1.7453292519943295e-11 1.7453292517002544e-05 "
+              "0.99999999969538256 -1.7453292519356215e-05 "
+              "-2.8716412725158887e-10 -1.7453292517002544e-05 "
+              "-0.99999999984769128"},
+    "F_D": {"location": "0.0015154558601237569 -0.0025037968632555573 "
+                        "-0.0088901677022376925",
+            "reference_rotation": "-150 1.0000000000000001e-09 179.999",
+            "adjusted_rotation":
+                "-0.99999999984769128 1.7453292519356215e-05 "
+                "-1.7453292519943295e-11 1.5114985974797131e-05 "
+                "0.86602540365253555 0.49999999999999994 "
+                "8.7266613746728056e-06 0.49999999992384531 "
+                "-0.86602540378443871"},
+    "F_U": {"location": "0.0015425475773918887 -0.002487764150421878 "
+                        "-0.0091081939841455399",
+            "reference_rotation": "150 1.0000000000000001e-09 -179.999",
+            "adjusted_rotation":
+                "-0.99999999984769128 -1.7453292519356215e-05 "
+                "-1.7453292519943295e-11 -1.5114985974797131e-05 "
+                "0.86602540365253555 -0.49999999999999994 "
+                "8.7266613746728056e-06 -0.49999999992384531 "
+                "-0.86602540378443871"},
+    "G": {"location": "0.0015096652640664463 -0.0025136977484785479 "
+                      "-0.00912520386006389",
+          "reference_rotation": "-179.999 36 179.999",
+          "adjusted_rotation":
+              "-0.80901699425172713 1.4120010255956319e-05 "
+              "-0.58778525229247314 7.1945045714363033e-06 "
+              "0.99999999987443222 1.4120010255956319e-05 "
+              "0.58778525241804092 7.1945045714363033e-06 "
+              "-0.80901699425172713"},
+    "J": {"location": None,
+          "reference_rotation":
+              "-1.0000000000000001e-09 36 1.0000000000000001e-09",
+          "adjusted_rotation":
+              "0.80901699437494745 1.4120010256431277e-11 "
+              "-0.58778525229247314 -7.1945045727740908e-12 1 "
+              "1.4120010256431277e-11 0.58778525229247314 "
+              "-7.1945045727740908e-12 0.80901699437494745"},
+}
+
+
+def _mat3_to_opk_deg(rot):
+    """Rotation matrix -> Metashape Omega/Phi/Kappa degrees (Rz*Ry*Rx,
+    gs360_MS360xmlToPersCams.py:1529-1540)."""
+    r31 = max(-1.0, min(1.0, float(rot[2][0])))
+    phi = math.asin(-r31)
+    omega = math.atan2(float(rot[2][1]), float(rot[2][2]))
+    kappa = math.atan2(float(rot[1][0]), float(rot[0][0]))
+    return math.degrees(omega), math.degrees(phi), math.degrees(kappa)
+
+
+def export_metashape_multi_camera_xml(out_path, frames, intrinsics, views,
+                                      preset: str = "fisheyelike"):
+    """Generate the Metashape Multi-Camera-System rig document.
+
+    Mirrors the document shape Metashape 2.3 itself writes (reference
+    template ``templates/perspective_cams_Multi-Camera-System.xml`` and
+    the rewrite logic at ``gs360_MS360xmlToPersCams.py:1609-1797``):
+    sensor 0 is the rig master; each slave sensor carries the
+    rig-relative ``<rotation>`` (master^T @ view, CV frame), a zeroed or
+    preset-calibrated ``<location>``, and a ``<reference rotation="o p k"
+    sabc=... enabled="true"/>`` attribute node; cameras are FLAT under
+    ``<cameras>`` with slaves linked by ``master_id`` to their source
+    frame\'s master camera; one component owns every camera. For the
+    fisheyelike preset the reference\'s calibrated slave-offset constants
+    override the derived Reference/Adjusted values.
+    """
     fl_x, fl_y, cx, cy, w, h = intrinsics
     f = 0.5 * (fl_x + fl_y)
     view_list = list(views)
     view_ids = [v for v, _, _ in view_list]
 
-    doc = ET.Element("document", {"version": "1.2.0"})
-    chunk = ET.SubElement(doc, "chunk", {"label": "rig", "enabled": "true"})
+    doc = ET.Element("document", {"version": "2.3.0"})
+    chunk = ET.SubElement(doc, "chunk",
+                          {"label": "unknown", "enabled": "true"})
     sensors_node = ET.SubElement(chunk, "sensors",
                                  {"next_id": str(len(view_list))})
+    offsets = (MCS_FISHEYELIKE_SLAVE_OFFSETS
+               if preset == "fisheyelike" else {})
     for sid, (vid, yaw, pitch) in enumerate(view_list):
-        attrs = {"id": str(sid), "label": f"virtual_{vid}", "type": "frame"}
+        attrs = {"id": str(sid), "label": "unknown", "type": "frame"}
         if sid != 0:
             attrs["master_id"] = "0"
         sensor = ET.SubElement(sensors_node, "sensor", attrs)
         ET.SubElement(sensor, "resolution",
                       {"width": str(int(w)), "height": str(int(h))})
+        ET.SubElement(sensor, "property",
+                      {"name": "fixed", "value": "true"})
+        ET.SubElement(sensor, "property",
+                      {"name": "layer_index", "value": "0"})
+        bands = ET.SubElement(sensor, "bands")
+        for band in ("Red", "Green", "Blue"):
+            ET.SubElement(bands, "band", {"label": band})
         ET.SubElement(sensor, "data_type").text = "uint8"
         calib = ET.SubElement(sensor, "calibration",
                               {"type": "frame", "class": "initial"})
@@ -219,25 +338,36 @@ def export_metashape_multi_camera_xml(out_path, frames, intrinsics, views):
                       {"width": str(int(w)), "height": str(int(h))})
         ET.SubElement(calib, "f").text = f"{f:.15g}"
         if sid != 0:
-            # rig-relative rotation: master view A -> this view, in the
-            # Metashape camera frame (CV): R_rel = R_master^T @ R_view
+            # rig-relative rotation: master view -> this view (CV frame)
             r_master = posemath.yaw_pitch_to_rot_gl(view_list[0][1],
                                                     view_list[0][2])
             r_view = posemath.yaw_pitch_to_rot_gl(yaw, pitch)
             r_rel_gl = r_master.T @ r_view
             flip = np.diag([1.0, -1.0, -1.0])
             r_rel_cv = flip @ r_rel_gl @ flip
-            ET.SubElement(sensor, "rotation", {"locked": "true"}).text = \
-                " ".join(f"{v:.15g}" for v in r_rel_cv.reshape(-1))
-            ET.SubElement(sensor, "location", {"locked": "true"}).text = \
-                "0 0 0"
-            ref = ET.SubElement(sensor, "reference")
-            ET.SubElement(ref, "rotation", {
-                "enabled": "true",
-                "sypr": "0.01", "scab": "0.01",
-            })
+            cfg = offsets.get(vid, {})
+            rot_text = cfg.get("adjusted_rotation") or " ".join(
+                f"{v:.15g}" for v in np.asarray(r_rel_cv).reshape(-1))
+            ET.SubElement(sensor, "rotation").text = rot_text
+            ref_attrs = {"sabc": MCS_ROTATION_ACCURACY, "enabled": "true"}
+            ref_rot = cfg.get("reference_rotation")
+            if ref_rot is None:
+                o, ph, k = _mat3_to_opk_deg(r_rel_cv)
+                ref_rot = f"{o:.15g} {ph:.15g} {k:.15g}"
+            ref_attrs["rotation"] = ref_rot
+            ET.SubElement(sensor, "reference", ref_attrs)
+            loc = cfg.get("location") if vid in offsets else "0 0 0"
+            if loc is not None:
+                ET.SubElement(sensor, "location").text = loc
+        ET.SubElement(sensor, "black_level").text = "0 0 0"
+        ET.SubElement(sensor, "sensitivity").text = "1 1 1"
 
-    # cameras grouped per source frame
+    components = ET.SubElement(chunk, "components",
+                               {"next_id": "1", "active_id": "0"})
+    component = ET.SubElement(components, "component",
+                              {"id": "0", "label": "Component 1"})
+
+    # cameras: flat, grouped by source frame via master_id chains
     by_source = {}
     order = []
     for fr in frames:
@@ -246,26 +376,43 @@ def export_metashape_multi_camera_xml(out_path, frames, intrinsics, views):
             order.append(fr["source_name"])
         by_source[fr["source_name"]][fr["view_id"]] = fr
 
-    groups_node = ET.SubElement(chunk, "cameras", {
-        "next_id": str(len(frames)), "next_group_id": str(len(order))})
+    cameras_node = ET.SubElement(chunk, "cameras", {
+        "next_id": str(len(order) * len(view_ids)),
+        "next_group_id": "0"})
+    master_cam_ids = []
     cam_id = 0
-    for gid, source in enumerate(order):
-        group = ET.SubElement(groups_node, "group", {
-            "id": str(gid), "label": source, "type": "folder"})
+    for source in order:
         entries = by_source[source]
         master = entries.get(view_ids[0])
+        master_cam_id = cam_id
+        master_cam_ids.append(master_cam_id)
         for sid, vid in enumerate(view_ids):
             fr = entries.get(vid)
             if fr is None:
                 continue
-            cam_node = ET.SubElement(group, "camera", {
-                "id": str(cam_id), "sensor_id": str(sid),
-                "label": pathlib.Path(fr["file_path"]).stem})
+            attrs = {"id": str(cam_id), "sensor_id": str(sid),
+                     "component_id": "0",
+                     "label": pathlib.Path(fr["file_path"]).stem}
+            if sid != 0:
+                attrs["master_id"] = str(master_cam_id)
+            cam_node = ET.SubElement(cameras_node, "camera", attrs)
             if sid == 0 and master is not None:
                 c2w_cv = np.asarray(master["c2w_gl"]) @ CV_TO_GL
                 ET.SubElement(cam_node, "transform").text = " ".join(
                     f"{v:.15g}" for v in np.asarray(c2w_cv).reshape(-1))
             cam_id += 1
+    partition = ET.SubElement(component, "partition")
+    ET.SubElement(partition, "camera_ids").text = " ".join(
+        str(i) for i in master_cam_ids)
+
+    settings = ET.SubElement(chunk, "settings")
+    for name, value in (("accuracy_tiepoints", "1"),
+                        ("accuracy_cameras", "10"),
+                        ("accuracy_cameras_ypr", "10"),
+                        ("accuracy_markers", "0.0050000000000000001"),
+                        ("accuracy_scalebars", "0.001"),
+                        ("accuracy_projections", "0.5")):
+        ET.SubElement(settings, "property", {"name": name, "value": value})
 
     msxml._indent(doc)
     out_path = pathlib.Path(out_path)
@@ -273,7 +420,6 @@ def export_metashape_multi_camera_xml(out_path, frames, intrinsics, views):
     with out_path.open("wb") as fo:
         fo.write(b"<?xml version='1.0' encoding='UTF-8'?>\n")
         fo.write(ET.tostring(doc, encoding="utf-8"))
-        fo.write(b"\n")
 
 
 # --------------------------------------------------------------------------
@@ -432,7 +578,7 @@ def _main(argv=None) -> int:
     if args.format == FORMAT_METASHAPE_MULTI:
         out_multi = out_dir / "perspective_cams_Multi-Camera-System.xml"
         export_metashape_multi_camera_xml(out_multi, frames, intrinsics,
-                                          views)
+                                          views, preset=args.preset)
         print(f"[OK] Metashape Multi-Camera XML: {out_multi}")
 
     if args.format in ("metashape", "all"):

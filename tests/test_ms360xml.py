@@ -185,8 +185,14 @@ class TestCli:
         for s in slaves:
             rot = s.find("rotation")
             assert rot is not None and len(rot.text.split()) == 9
-        groups = root.findall("chunk/cameras/group")
-        assert len(groups) == 2  # one per source pano
+        # flat camera list, Metashape-style: masters carry transforms,
+        # slaves link via master_id (template parity: test_mcs_golden)
+        cams = root.findall("chunk/cameras/camera")
+        assert len(cams) == 20  # 2 source panos x 10 views
+        masters_c = [c for c in cams if c.get("master_id") is None]
+        assert len(masters_c) == 2
+        for m in masters_c:
+            assert m.find("transform") is not None
 
     def test_realityscan_export(self, xml_file, tmp_path):
         out = tmp_path / "o"
