@@ -14,10 +14,12 @@ invalid entries) so the whole tracker jits once per frame size.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 N_POINTS = 512           # corner budget (reference asks for up to 1000)
 QUALITY_LEVEL = 0.01
@@ -177,6 +179,152 @@ def lk_track(prev: jnp.ndarray, curr: jnp.ndarray, pts: jnp.ndarray,
     inside = ((end[:, 0] >= 0) & (end[:, 0] <= w - 1)
               & (end[:, 1] >= 0) & (end[:, 1] <= h - 1))
     return disp, ok & inside
+
+
+FARNEBACK_WINSIZE = 15       # reference cv2 params
+FARNEBACK_ITERS = 3          # (gs360_FrameSelector.py:1326)
+FARNEBACK_POLY_N = 5
+FARNEBACK_POLY_SIGMA = 1.1
+
+
+def _corr1d(img, kernel, axis, pad):
+    """'same' cross-correlation along one axis with edge-clamp padding."""
+    padw = [(0, 0), (0, 0)]
+    padw[axis] = (pad, pad)
+    imp = jnp.pad(img, padw, mode="edge")
+    k = kernel[::-1]  # correlation via convolution kernel flip
+    if axis == 0:
+        out = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"),
+                       in_axes=1, out_axes=1)(imp)
+    else:
+        out = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(imp)
+    return out
+
+
+def _poly_expansion(img, n: int, sigma: float):
+    """Farneback polynomial expansion: per-pixel quadratic fit
+    f(x) ~ c + b^T x + x^T A x over a Gaussian applicability window.
+
+    Separable weighted moments + a precomputed normal-matrix inverse.
+    Returns (b (H,W,2), A (H,W,2,2))."""
+    x = np.arange(-n, n + 1, dtype=np.float64)
+    w = np.exp(-x * x / (2.0 * sigma * sigma))
+    s0, s2, s4 = (w.sum(), (w * x * x).sum(), (w * x ** 4).sum())
+    # normal matrix over basis [1, x, y, x^2, y^2, xy]
+    G = np.zeros((6, 6))
+    G[0, 0] = s0 * s0
+    G[0, 3] = G[3, 0] = G[0, 4] = G[4, 0] = s2 * s0
+    G[1, 1] = G[2, 2] = s2 * s0
+    G[3, 3] = G[4, 4] = s4 * s0
+    G[3, 4] = G[4, 3] = s2 * s2
+    G[5, 5] = s2 * s2
+    Ginv = jnp.asarray(np.linalg.inv(G), jnp.float32)
+
+    k0 = jnp.asarray(w, jnp.float32)
+    k1 = jnp.asarray(w * x, jnp.float32)
+    k2 = jnp.asarray(w * x * x, jnp.float32)
+
+    # my = order along rows (y), mx = order along cols (x)
+    t0 = _corr1d(img, k0, 0, n)
+    t1 = _corr1d(img, k1, 0, n)
+    t2 = _corr1d(img, k2, 0, n)
+    m00 = _corr1d(t0, k0, 1, n)
+    m10 = _corr1d(t0, k1, 1, n)   # x moment
+    m01 = _corr1d(t1, k0, 1, n)   # y moment
+    m20 = _corr1d(t0, k2, 1, n)
+    m02 = _corr1d(t2, k0, 1, n)
+    m11 = _corr1d(t1, k1, 1, n)
+    m = jnp.stack([m00, m10, m01, m20, m02, m11], axis=-1)
+    coef = jnp.einsum("ij,hwj->hwi", Ginv, m)
+    b = coef[..., 1:3]
+    A = jnp.stack([
+        jnp.stack([coef[..., 3], 0.5 * coef[..., 5]], -1),
+        jnp.stack([0.5 * coef[..., 5], coef[..., 4]], -1)], -2)
+    return b, A
+
+
+def _bilinear_field(field, xq, yq):
+    """Sample (H,W,...) fields at float coords with edge clamping."""
+    h, w = field.shape[:2]
+    x0 = jnp.clip(jnp.floor(xq).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(yq).astype(jnp.int32), 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    fx = jnp.clip(xq - x0, 0.0, 1.0)
+    fy = jnp.clip(yq - y0, 0.0, 1.0)
+    while fx.ndim < field.ndim:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    return ((1 - fy) * ((1 - fx) * field[y0, x0] + fx * field[y0, x1])
+            + fy * ((1 - fx) * field[y1, x0] + fx * field[y1, x1]))
+
+
+def _box_blur_same(img, k):
+    kern = jnp.ones(k, jnp.float32) / k
+    return _corr1d(_corr1d(img, kern, 0, k // 2), kern, 1, k // 2)
+
+
+@functools.partial(jax.jit, static_argnames=("winsize", "iterations",
+                                             "poly_n"))
+def farneback_flow(prev: jnp.ndarray, curr: jnp.ndarray, *,
+                   winsize: int = FARNEBACK_WINSIZE,
+                   iterations: int = FARNEBACK_ITERS,
+                   poly_n: int = FARNEBACK_POLY_N,
+                   poly_sigma: float = FARNEBACK_POLY_SIGMA) -> jnp.ndarray:
+    """Dense Farneback optical flow (single level), the reference's
+    FLOW_METHOD='farneback' option (gs360_FrameSelector.py:1324-1337,
+    cv2.calcOpticalFlowFarneback(..., 0.5, 1, 15, 3, 5, 1.1, 0)).
+
+    Polynomial expansion is separable Gaussian-weighted moment filtering
+    (convolutions — MXU-friendly); each iteration re-samples the second
+    frame's expansion at the current flow and solves the windowed 2x2
+    normal equations. Returns (H, W, 2) [dx, dy] in pixels.
+    """
+    b1, A1 = _poly_expansion(prev, poly_n, poly_sigma)
+    b2, A2 = _poly_expansion(curr, poly_n, poly_sigma)
+    h, w = prev.shape
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+
+    def step(_, flow):
+        xq = xx + flow[..., 0]
+        yq = yy + flow[..., 1]
+        b2w = _bilinear_field(b2, xq, yq)
+        A2w = _bilinear_field(A2, xq, yq)
+        A = 0.5 * (A1 + A2w)
+        db = -0.5 * (b2w - b1) + jnp.einsum("hwij,hwj->hwi", A, flow)
+        g11 = A[..., 0, 0] ** 2 + A[..., 1, 0] ** 2
+        g12 = (A[..., 0, 0] * A[..., 0, 1]
+               + A[..., 1, 0] * A[..., 1, 1])
+        g22 = A[..., 0, 1] ** 2 + A[..., 1, 1] ** 2
+        h1 = A[..., 0, 0] * db[..., 0] + A[..., 1, 0] * db[..., 1]
+        h2 = A[..., 0, 1] * db[..., 0] + A[..., 1, 1] * db[..., 1]
+        g11 = _box_blur_same(g11, winsize)
+        g12 = _box_blur_same(g12, winsize)
+        g22 = _box_blur_same(g22, winsize)
+        h1 = _box_blur_same(h1, winsize)
+        h2 = _box_blur_same(h2, winsize)
+        det = g11 * g22 - g12 * g12
+        safe = jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
+        fx_new = (g22 * h1 - g12 * h2) / safe
+        fy_new = (g11 * h2 - g12 * h1) / safe
+        ok = jnp.abs(det) > 1e-9
+        return jnp.stack([jnp.where(ok, fx_new, flow[..., 0]),
+                          jnp.where(ok, fy_new, flow[..., 1])], -1)
+
+    flow0 = jnp.zeros((h, w, 2), jnp.float32)
+    return jax.lax.fori_loop(0, iterations, step, flow0)
+
+
+def mean_flow_magnitude_farneback(prev_gray: jnp.ndarray,
+                                  curr_gray: jnp.ndarray) -> float:
+    """Mean dense-flow magnitude (the Farneback branch of the reference's
+    _compute_pair_flow_magnitude, gs360_FrameSelector.py:1324-1337)."""
+    flow = farneback_flow(jnp.asarray(prev_gray, jnp.float32),
+                          jnp.asarray(curr_gray, jnp.float32))
+    mag = jnp.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
+    out = float(jnp.mean(mag))
+    return out if math.isfinite(out) else float("nan")
 
 
 def mean_flow_magnitude(prev_gray: jnp.ndarray, curr_gray: jnp.ndarray

@@ -248,12 +248,19 @@ def hybrid_normalize(metrics: List[FrameMetrics]) -> None:
 
 
 def compute_flows(records: List[Record], metrics: List[FrameMetrics],
-                  crop_ratio: float = FLOW_CROP_RATIO) -> None:
-    """Mean LK flow magnitude between consecutive existing records; each
-    record keeps the max of its adjacent-pair magnitudes."""
+                  crop_ratio: float = FLOW_CROP_RATIO,
+                  method: str = "lucas_kanade") -> None:
+    """Mean flow magnitude between consecutive existing records; each
+    record keeps the max of its adjacent-pair magnitudes. ``method``
+    mirrors the reference's FLOW_METHOD switch
+    (gs360_FrameSelector.py:324,1298): sparse LK (default) or dense
+    Farneback."""
     import jax.numpy as jnp
 
     from gs360x.kernels import flow as flowk
+
+    flow_fn = (flowk.mean_flow_magnitude_farneback
+               if method == "farneback" else flowk.mean_flow_magnitude)
 
     def load(rec: Record):
         grays = []
@@ -280,7 +287,7 @@ def compute_flows(records: List[Record], metrics: List[FrameMetrics],
                 a.shape == b.shape for a, b in zip(prev_grays, grays)):
             mags = []
             for a, b in zip(prev_grays, grays):
-                mag = flowk.mean_flow_magnitude(jnp.asarray(a), jnp.asarray(b))
+                mag = flow_fn(jnp.asarray(a), jnp.asarray(b))
                 if math.isfinite(mag):
                     mags.append(mag)
             mean_mag = (sum(mags) / len(mags)) if mags \
@@ -791,6 +798,10 @@ def create_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--augment_gap_mode", choices=["single", "strict"],
                     default="single")
     ap.add_argument("--augment_lowlight", action="store_true")
+    ap.add_argument("--flow_method",
+                    choices=["lucas_kanade", "farneback"],
+                    default="lucas_kanade",
+                    help="Optical-flow estimator (reference FLOW_METHOD)")
     ap.add_argument("--compute_optical_flow", action="store_true")
     ap.add_argument("--augment_motion", action="store_true")
     ap.add_argument("--segment-boundary-reopt", dest="segment_boundary_reopt",
@@ -909,7 +920,7 @@ def _main(argv=None) -> int:
             hybrid_normalize(metrics)
         if need_flow:
             print("[INFO] computing optical flow...")
-            compute_flows(records, metrics)
+            compute_flows(records, metrics, method=args.flow_method)
         final, groups = _select(args, records, metrics, min_diff)
 
     # augmentation passes (not in apply mode)

@@ -172,3 +172,32 @@ class TestThrottle:
         with mon:
             time.sleep(0.1)
         assert lim.target < 4
+
+class TestFarneback:
+    def test_recovers_known_translation(self):
+        import math
+
+        from gs360x.kernels import flow as flowk
+
+        h, w = 96, 128
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+
+        def pat(ox, oy):
+            return (0.5 + 0.3 * np.sin(2 * np.pi * (xx + ox) / 24)
+                    * np.cos(2 * np.pi * (yy + oy) / 20)).astype(np.float32)
+
+        prev, curr = pat(0, 0), pat(-2, -1)   # content moved +2x, +1y
+        flow = np.asarray(flowk.farneback_flow(prev, curr))
+        inner = flow[20:-20, 20:-20]
+        assert abs(inner[..., 0].mean() - 2.0) < 0.1
+        assert abs(inner[..., 1].mean() - 1.0) < 0.1
+        mag = flowk.mean_flow_magnitude_farneback(prev, curr)
+        assert abs(mag - math.hypot(2, 1)) < 0.15
+
+    def test_static_scene_is_near_zero(self):
+        from gs360x.kernels import flow as flowk
+
+        rng = np.random.default_rng(0)
+        img = rng.random((64, 96)).astype(np.float32)
+        mag = flowk.mean_flow_magnitude_farneback(img, img)
+        assert mag < 1e-3
