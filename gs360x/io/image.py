@@ -39,8 +39,16 @@ def to_float01(img: np.ndarray) -> np.ndarray:
 
 
 def from_float01(img: np.ndarray, bit_depth: int = 8) -> np.ndarray:
-    """float [0,1] → uint8 or uint16 with round-half-away like ffmpeg."""
-    x = np.clip(np.asarray(img, dtype=np.float32), 0.0, 1.0)
+    """float [0,1] → uint8 or uint16 with round-half-away like ffmpeg.
+
+    Already-quantized arrays pass through (device pipelines quantize
+    before the host fetch to shrink tunnel transfers 4x)."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8 and bit_depth <= 8:
+        return img
+    if img.dtype == np.uint16 and bit_depth > 8:
+        return img
+    x = np.clip(img.astype(np.float32), 0.0, 1.0)
     if bit_depth > 8:
         return np.rint(x * 65535.0).astype(np.uint16)
     return np.rint(x * 255.0).astype(np.uint8)

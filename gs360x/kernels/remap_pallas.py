@@ -7,8 +7,10 @@ fisheye→perspective maps (reference
 static arrays* per sensor calibration. That makes the window planning
 trivial: the per-tile source-window origin table is computed once on the
 host (and cached per map), shipped to SMEM, and the kernel just DMAs each
-tile's window and runs the same fused de-interleave + gather resample
-core (:func:`gs360x.kernels.warp_pallas._resample_tile`).
+tile's window and runs the same planar-window
+resample core as the warp kernels
+(:func:`gs360x.kernels.warp_pallas._resample_tile_planar`); the source is
+de-interleaved once per frame by ``_planar_source``.
 
 Budget: same static window as the warp kernel — horizontal span ≤
 ``WIN_COLS − margins`` per tile, vertical span per row class. Maps that
@@ -30,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gs360x.kernels.warp_pallas import (
     H_MARGIN, N_BLOCKS, ROW_CLASSES, TILE_COLS, TILE_ROWS, V_MARGIN,
-    WIN_COLS, PallasFallback, _pad_source_rows, _resample_tile)
+    WIN_COLS, PallasFallback, _planar_source, _resample_tile_planar)
 
 __all__ = ["PreparedRemap", "remap_pallas", "plan_remap_tiles"]
 
@@ -105,9 +107,9 @@ def _remap_kernel(tab_ref,     # (n_tiles, 2) i32 SMEM: [rm/8, cm/128]
                   mapx_ref,    # (TILE_ROWS, TILE_COLS) VMEM block
                   mapy_ref,
                   valid_ref,   # (TILE_ROWS, TILE_COLS) f32 block
-                  src_hbm,     # (H, (W+WIN_COLS)*3) f32 in ANY/HBM
+                  src_hbm,     # (3, H8, W'') planar f32 in ANY/HBM
                   out_ref,     # (3, TILE_ROWS, TILE_COLS) VMEM block
-                  win_raw,     # scratch (2, R, 3*WIN_COLS) f32
+                  win_raw,     # scratch (2, 3, R, WIN_COLS) f32
                   acc,         # scratch (3, TILE_ROWS, TILE_COLS)
                   sems,        # DMA semaphores (2,)
                   *, interp: str, win_rows: int, fill: float):
@@ -116,9 +118,10 @@ def _remap_kernel(tab_ref,     # (n_tiles, 2) i32 SMEM: [rm/8, cm/128]
     n_tiles = pl.num_programs(0)
 
     def dma(slot, t):
+        rm = pl.multiple_of(tab_ref[t, 0] * 8, 8)
+        cm = pl.multiple_of(tab_ref[t, 1] * TILE_COLS, TILE_COLS)
         return pltpu.make_async_copy(
-            src_hbm.at[pl.ds(tab_ref[t, 0] * 8, R),
-                       pl.ds(tab_ref[t, 1] * (3 * TILE_COLS), 3 * WIN_COLS)],
+            src_hbm.at[:, pl.ds(rm, R), pl.ds(cm, WIN_COLS)],
             win_raw.at[slot], sems.at[slot])
 
     @pl.when(tile == 0)
@@ -136,7 +139,8 @@ def _remap_kernel(tab_ref,     # (n_tiles, 2) i32 SMEM: [rm/8, cm/128]
     rm = (tab_ref[tile, 0] * 8).astype(jnp.float32)
     urel = jnp.clip(mapx_ref[:, :] - cm, 0.0, WIN_COLS - 1.001)
     vrel = jnp.clip(mapy_ref[:, :] - rm, 0.0, R - 1.001)
-    _resample_tile(win_raw, slot, urel, vrel, acc, R=R, interp=interp)
+    _resample_tile_planar(win_raw, slot, urel, vrel, acc, R=R,
+                          interp=interp)
 
     v = valid_ref[:, :]
     for c in range(3):
@@ -172,7 +176,7 @@ def _remap_call(src_rows, map_x, map_y, valid, table, *, interp, win_rows,
             (3, TILE_ROWS, TILE_COLS),
             lambda t: (0, t // n_tiles_x, t % n_tiles_x)),
         scratch_shapes=[
-            pltpu.VMEM((2, win_rows, 3 * WIN_COLS), jnp.float32),
+            pltpu.VMEM((2, 3, win_rows, WIN_COLS), jnp.float32),
             pltpu.VMEM((3, TILE_ROWS, TILE_COLS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -231,7 +235,7 @@ class PreparedRemap:
                  interpret: bool = False):
         rows = src.reshape(src.shape[0], src.shape[1] * 3) \
             if src.ndim == 3 else src
-        padded = _pad_source_rows(jnp.asarray(rows))
+        padded = _planar_source(jnp.asarray(rows), interpret=interpret)
         out = _remap_call(padded, self.map_x, self.map_y, self.valid,
                           self.table, interp=interp,
                           win_rows=self.win_rows, fill=float(fill),

@@ -269,131 +269,6 @@ def _chunk_bounds(vrelw, R: int):
     return t_lo, t_hi
 
 
-def _resample_tile(win_raw, slot, urel, vrel, acc, *, R: int, interp: str):
-    """The shared resample core: interleaved-RGB window in VMEM + (u, v)
-    coordinates relative to the window origin -> planar tile in ``acc``.
-    Used by both the ray-math warp kernel and the map-remap kernel."""
-    x0f = jnp.floor(urel)
-    y0f = jnp.floor(vrel)
-    fx = urel - x0f
-    fy = vrel - y0f
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
-
-    if interp == "bicubic":
-        hw = _lagrange_weights(fx)
-        vw = _lagrange_weights(fy)
-        koff = -1
-    elif interp == "catmull-rom":
-        hw = _catmull_rom_weights(fx)
-        vw = _catmull_rom_weights(fy)
-        koff = -1
-    else:
-        hw = _linear_weights(fx)
-        vw = _linear_weights(fy)
-        koff = 0
-    n_taps = len(hw)
-
-    GROUP = 8   # output rows per batch: keeps accumulator
-                # writes (8,128)-tile aligned (sub-tile RMWs
-                # are masked stores and dominate otherwise)
-    n_groups = TILE_ROWS // GROUP
-
-    # per-group stacked tap indices: (GROUP*8, 128), each output row's index
-    # broadcast over its own 8-sublane band
-    def stack_rows(per_row):
-        return jnp.concatenate(
-            [jnp.broadcast_to(r, (8, TILE_COLS)) for r in per_row], axis=0)
-
-    xi_g = [[stack_rows([jnp.clip(x0[i:i + 1, :] + (k + koff), 0,
-                                  WIN_COLS - 1)
-                         for i in range(g * GROUP, (g + 1) * GROUP)])
-             for k in range(n_taps)] for g in range(n_groups)]
-    ym_all = [jnp.clip(y0[i:i + 1, :] + (m + koff), 0, R - 1)
-              for i in range(TILE_ROWS) for m in range(n_taps)]
-
-    # ---- fused, chunk-skipped, row-batched resample ------------------------
-    # Chunk activity is gated PER 8-ROW OUTPUT GROUP, not per tile: a
-    # group's vertical taps touch ~2 window chunks while the whole tile
-    # spans ~4, so per-group bounds skip over half the horizontal work a
-    # tile-wide gate would do (the gathers a tile-wide loop computes for
-    # rows whose taps miss the chunk are masked to zero — pure waste).
-    # Within an active (group, chunk): de-interleave the chunk, gather all
-    # GROUP rows' horizontal taps in one (64, 128) lane shuffle per
-    # (tap, block), then single-vreg vertical sublane gathers (hardware
-    # limit) accumulate into an (8,128)-aligned accumulator band.
-    for c in range(3):
-        acc[c] = jnp.zeros((TILE_ROWS, TILE_COLS), jnp.float32)
-
-    hw_g = [[stack_rows([hw[k][i:i + 1, :]
-                         for i in range(g * GROUP, (g + 1) * GROUP)])
-             for k in range(n_taps)] for g in range(n_groups)]
-
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_COLS), 1)
-    for gi in range(n_groups):
-        tg_lo, tg_hi = _chunk_bounds(vrel[gi * GROUP:(gi + 1) * GROUP, :], R)
-        for tchunk in range(R // 8):
-            @pl.when((tchunk >= tg_lo) & (tchunk < tg_hi))
-            def _(tchunk=tchunk, gi=gi):
-                r0 = tchunk * 8
-                for c in range(3):
-                    # de-interleave this chunk of channel c (planar blocks)
-                    chunk4 = []  # each block replicated GROUP times
-                    for ob in range(N_BLOCKS):
-                        src_lane = (ob * TILE_COLS + lane8) * 3 + c
-                        blk0 = ob * 3
-                        g = None
-                        for b in range(blk0, blk0 + 3):
-                            raw_blk = win_raw[
-                                slot, r0:r0 + 8,
-                                b * TILE_COLS:(b + 1) * TILE_COLS]
-                            gb = jnp.take_along_axis(
-                                raw_blk,
-                                jnp.clip(src_lane - b * TILE_COLS, 0,
-                                         TILE_COLS - 1), axis=1)
-                            gb = jnp.where((src_lane // TILE_COLS) == b,
-                                           gb, 0.0)
-                            g = gb if g is None else g + gb
-                        chunk4.append(jnp.concatenate([g] * GROUP, axis=0))
-                    # horizontal: all GROUP rows' taps in batched gathers
-                    ih = None  # (GROUP*8, 128): row r's band holds its taps
-                    for k in range(n_taps):
-                        xi = xi_g[gi][k]
-                        g = None
-                        for b in range(N_BLOCKS):
-                            gb = jnp.take_along_axis(
-                                chunk4[b],
-                                jnp.clip(xi - b * TILE_COLS, 0,
-                                         TILE_COLS - 1), axis=1)
-                            gb = jnp.where((xi // TILE_COLS) == b, gb, 0.0)
-                            g = gb if g is None else g + gb
-                        term = g * hw_g[gi][k]
-                        ih = term if ih is None else ih + term
-                    # vertical: per output row, single-vreg sublane
-                    # gathers; the group's rows stack into one aligned
-                    # (GROUP, 128) accumulator update
-                    adds = []
-                    for r in range(GROUP):
-                        i = gi * GROUP + r
-                        ih_i = ih[r * 8:(r + 1) * 8, :]
-                        add = None
-                        for m in range(n_taps):
-                            ym = ym_all[i * n_taps + m]
-                            ym8 = jnp.broadcast_to(ym, (8, TILE_COLS))
-                            gv = jnp.take_along_axis(
-                                ih_i, jnp.clip(ym8 - r0, 0, 7),
-                                axis=0)[0:1, :]
-                            gv = jnp.where((ym // 8) == tchunk, gv, 0.0) \
-                                * vw[m][i:i + 1, :]
-                            add = gv if add is None else add + gv
-                        adds.append(add)
-                    band = slice(gi * GROUP, (gi + 1) * GROUP)
-                    acc[c, band, :] = (acc[c, band, :]
-                                       + jnp.concatenate(adds, axis=0))
-
-
-
-
 def _resample_tile_planar(win_raw, slot, urel, vrel, acc, *, R: int,
                           interp: str):
     """General-geometry resample over a PLANAR window (3, R, WIN_COLS).
@@ -1302,25 +1177,6 @@ def _planar_source(src_rows, interpret=False):
                                 ((-h) % 8, target_w * 3))
         padded = jnp.concatenate([padded, fill], axis=0)
     return _planarize_rows(padded, interpret=interpret)
-
-
-@jax.jit
-def _pad_source_rows(src_rows):
-    """(H, W*3) rows -> seam-padded f32 (H, (W+WIN_COLS)*3) in [0,1] units.
-
-    Operates on 2-D row-major arrays only: ANY device op on (..., 3)-shaped
-    arrays is pathological on TPU (the 3-wide minor dim tiles to 128 lanes,
-    a 42x layout blowup), so HWC frames must be flattened to (H, W*3) on
-    the host (a free numpy reshape) before reaching the device. Accepts
-    uint8/uint16 rows and normalizes on device — transferring uint8 instead
-    of f32 is 4x less host->device traffic.
-    """
-    padded = jnp.concatenate([src_rows, src_rows[:, :WIN_COLS * 3]], axis=1)
-    if padded.dtype == jnp.uint8:
-        return padded.astype(jnp.float32) * (1.0 / 255.0)
-    if padded.dtype == jnp.uint16:
-        return padded.astype(jnp.float32) * (1.0 / 65535.0)
-    return padded.astype(jnp.float32)
 
 
 def _as_source_rows(src):
