@@ -50,8 +50,11 @@ def main():
 
     log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
     rng = np.random.default_rng(0)
-    frame = rng.random((3840, 7680, 3)).astype(np.float32)
-    rows = jnp.asarray(frame.reshape(3840, 7680 * 3))
+    # uint8 frames, like every production video source: 4x less
+    # host->device traffic and the planarize pass normalizes on device
+    frame8 = (rng.random((3840, 7680, 3)) * 255).astype(np.uint8)
+    frame = frame8.astype(np.float32) / 255.0   # XLA path reference input
+    rows = jnp.asarray(frame8.reshape(3840, 7680 * 3))
     rows.block_until_ready()
     yaws = np.arange(N_VIEWS) * (360.0 / N_VIEWS)
     zeros = np.zeros(N_VIEWS)

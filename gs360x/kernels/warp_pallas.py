@@ -103,7 +103,8 @@ class ViewBudget:
 def plan_view(width: int, height: int, hfov_deg: float, vfov_deg: float,
               yaw_deg: float, pitch_deg: float, roll_deg: float,
               src_w: int, src_h: int, true_w: Optional[int] = None,
-              true_h: Optional[int] = None) -> Optional[ViewBudget]:
+              true_h: Optional[int] = None, tile_rows: int = TILE_ROWS,
+              row_classes: tuple = ROW_CLASSES) -> Optional[ViewBudget]:
     """Validate a view against the kernel's static window budget.
 
     Cached: view geometry is static across frames. Sampling is EXACT
@@ -113,19 +114,19 @@ def plan_view(width: int, height: int, hfov_deg: float, vfov_deg: float,
     384-col window silently clipped its taps. ~40ms per 1080p view,
     amortized by the lru cache (geometry is static across frames).
     """
-    if width % TILE_COLS or height % TILE_ROWS:
+    if width % TILE_COLS or height % tile_rows:
         return None
     rot = _rot_matrix(yaw_deg, pitch_deg, roll_deg)
     u, v = _np_view_coords_strided(width, height, hfov_deg, vfov_deg, rot,
                                    src_w, src_h, stride=1, true_w=true_w,
                                    true_h=true_h)
-    n_ty, n_tx = height // TILE_ROWS, width // TILE_COLS
-    uc = u.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
-    vc = v.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
+    n_ty, n_tx = height // tile_rows, width // TILE_COLS
+    uc = u.reshape(n_ty, tile_rows, n_tx, TILE_COLS)
+    vc = v.reshape(n_ty, tile_rows, n_tx, TILE_COLS)
     margin = 0.0  # exact sampling — no stride slack needed
     # tile-center-relative unwrap, mirroring the kernel's seam handling
-    # (the kernel anchors at u[TILE_ROWS//2, TILE_COLS//2])
-    u_center = uc[:, TILE_ROWS // 2, :, TILE_COLS // 2][:, None, :, None]
+    # (the kernel anchors at u[tile_rows//2, TILE_COLS//2])
+    u_center = uc[:, tile_rows // 2, :, TILE_COLS // 2][:, None, :, None]
     urel = np.mod(uc - u_center + src_w / 2.0, src_w) - src_w / 2.0
     h_span = (urel.max(axis=(1, 3)) - urel.min(axis=(1, 3))
               + 2 * H_MARGIN + 2 * margin)
@@ -133,7 +134,7 @@ def plan_view(width: int, height: int, hfov_deg: float, vfov_deg: float,
               + 2 * V_MARGIN + 2 * margin)
     if (h_span > WIN_COLS - 131).any():  # 127 col-alignment + 4 slack
         return None
-    for r in ROW_CLASSES:
+    for r in row_classes:
         if float(v_span.max()) <= r - 9:  # 7 rows row-alignment slack
             return ViewBudget(win_rows=r, rot=rot.astype(np.float32))
     return None
@@ -367,7 +368,7 @@ def _resample_tile_planar(win_raw, slot, urel, vrel, acc, *, R: int,
 
 
 def _resample_tile_yaw(win_raw, slot, urel, vrel, acc, *, R: int,
-                       interp: str):
+                       interp: str, tile_rows: int = TILE_ROWS):
     """Yaw-ring resample: ``urel`` is ROW-INDEPENDENT (all sublanes equal).
 
     For a pitch=0, roll=0 view the horizontal source coordinate depends
@@ -420,13 +421,13 @@ def _resample_tile_yaw(win_raw, slot, urel, vrel, acc, *, R: int,
 
     if STOP_AFTER == "hpass":
         for c in range(3):
-            acc[c] = ih[c][0:TILE_ROWS, :]
+            acc[c] = ih[c][0:tile_rows, :]
         return
 
     # vertical pass: per 8-row output band, gather taps from IH chunks
-    n_bands = TILE_ROWS // 8
+    n_bands = tile_rows // 8
     for c in range(3):
-        acc[c] = jnp.zeros((TILE_ROWS, TILE_COLS), jnp.float32)
+        acc[c] = jnp.zeros((tile_rows, TILE_COLS), jnp.float32)
     for band in range(n_bands):
         rows = slice(band * 8, (band + 1) * 8)
         ymb = [jnp.clip(y0[rows, :] + (m + koff), 0, R - 1)
@@ -676,7 +677,7 @@ def _warp_kernel_yaw(view_f32_ref,     # (V, 16) f32 SMEM: rot(9), tanh, tanv
                      sems,             # DMA semaphores (2,)
                      *, interp: str, win_rows: int, src_w: int,
                      src_h: int, geo_w: int, geo_h: int, n_tiles_x: int,
-                     tiles_per_view: int):
+                     tiles_per_view: int, tile_rows: int = TILE_ROWS):
     """Yaw-ring warp kernel: pitch=0, roll=0 views (the default preset's
     camera ring, and the dominant production geometry). ``u`` is
     row-independent — ``atan2(cy·nx + sy, cy − sy·nx)`` drops out of the
@@ -706,11 +707,11 @@ def _warp_kernel_yaw(view_f32_ref,     # (V, 16) f32 SMEM: rot(9), tanh, tanv
         u = (phi / math.pi + 1.0) * (src_w / 2.0) - 0.5
 
         jj = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_ROWS, TILE_COLS), 1).astype(jnp.float32)
+            jnp.int32, (tile_rows, TILE_COLS), 1).astype(jnp.float32)
         ii = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_ROWS, TILE_COLS), 0).astype(jnp.float32)
+            jnp.int32, (tile_rows, TILE_COLS), 0).astype(jnp.float32)
         px = (tx * TILE_COLS).astype(jnp.float32) + jj
-        py = (ty * TILE_ROWS).astype(jnp.float32) + ii
+        py = (ty * tile_rows).astype(jnp.float32) + ii
         nx = ((2.0 * px + 1.0) / geo_w - 1.0) * tanh
         ny = ((2.0 * py + 1.0) / geo_h - 1.0) * tanv
         inv_n = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
@@ -746,7 +747,7 @@ def _warp_kernel_yaw(view_f32_ref,     # (V, 16) f32 SMEM: rot(9), tanh, tanv
     def _():
         rm0, cm0, urel0, vrel0 = tile_geometry(tile)
         geom[0, 0:8, :] = urel0
-        geom[0, 8:8 + TILE_ROWS, :] = vrel0
+        geom[0, 8:8 + tile_rows, :] = vrel0
         rmcm[0, 0] = rm0
         rmcm[0, 1] = cm0
         dma(0, rm0, cm0).start()
@@ -756,26 +757,36 @@ def _warp_kernel_yaw(view_f32_ref,     # (V, 16) f32 SMEM: rot(9), tanh, tanv
         nslot = (tile + 1) % 2
         rm_n, cm_n, urel_n, vrel_n = tile_geometry(tile + 1)
         geom[nslot, 0:8, :] = urel_n
-        geom[nslot, 8:8 + TILE_ROWS, :] = vrel_n
+        geom[nslot, 8:8 + tile_rows, :] = vrel_n
         rmcm[nslot, 0] = rm_n
         rmcm[nslot, 1] = cm_n
         dma(nslot, rm_n, cm_n).start()
 
     urel = geom[slot, 0:8, :]
-    vrel = geom[slot, 8:8 + TILE_ROWS, :]
+    vrel = geom[slot, 8:8 + tile_rows, :]
     rm_t = pl.multiple_of(rmcm[slot, 0], 8)
     cm_t = pl.multiple_of(rmcm[slot, 1], 128)
     dma(slot, rm_t, cm_t).wait()
 
     if STOP_AFTER == "geom_dma":
         for c in range(3):
-            out_ref[0, c, :, :] = win_raw[slot, c, 0:TILE_ROWS, 0:128] + vrel
+            out_ref[0, c, :, :] = (win_raw[slot, c, 0:tile_rows, 0:128]
+                                   + vrel)
         return
 
-    _resample_tile_yaw(win_raw, slot, urel, vrel, acc, R=R, interp=interp)
+    _resample_tile_yaw(win_raw, slot, urel, vrel, acc, R=R, interp=interp,
+                       tile_rows=tile_rows)
 
     for c in range(3):
         out_ref[0, c, :, :] = acc[c]
+
+
+# yaw-class tiles are 32 rows tall: the cheap MXU h-pass makes per-tile
+# fixed costs (geometry trig, DMA descriptors, grid steps) the bottleneck,
+# and taller tiles also shrink window overlap (1.8 -> 1.2 GB per 8-view
+# 8K frame). Row classes grow accordingly.
+YAW_TILE_ROWS = 32
+YAW_ROW_CLASSES = (32, 64, 96, 128)
 
 
 @functools.partial(
@@ -785,14 +796,15 @@ def _warp_kernel_yaw(view_f32_ref,     # (V, 16) f32 SMEM: rot(9), tanh, tanv
 def _warp_call_yaw(src_rows, view_f32, *, width, height, true_w, true_h,
                    src_w, src_h, interp, win_rows, n_views,
                    interpret=False):
+    tile_rows = YAW_TILE_ROWS
     n_tiles_x = width // TILE_COLS
-    tiles_per_view = (height // TILE_ROWS) * n_tiles_x
+    tiles_per_view = (height // tile_rows) * n_tiles_x
     n_tiles = tiles_per_view * n_views
 
     kernel = functools.partial(
         _warp_kernel_yaw, interp=interp, win_rows=win_rows, src_w=src_w,
         src_h=src_h, geo_w=true_w, geo_h=true_h, n_tiles_x=n_tiles_x,
-        tiles_per_view=tiles_per_view)
+        tiles_per_view=tiles_per_view, tile_rows=tile_rows)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_views, 3, height, width),
@@ -803,7 +815,7 @@ def _warp_call_yaw(src_rows, view_f32, *, width, height, true_w, true_h,
             pl.BlockSpec(memory_space=pl.ANY),       # src stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (1, 3, TILE_ROWS, TILE_COLS),
+            (1, 3, tile_rows, TILE_COLS),
             lambda t: (t // tiles_per_view,
                        0,
                        (t % tiles_per_view) // n_tiles_x,
@@ -811,8 +823,8 @@ def _warp_call_yaw(src_rows, view_f32, *, width, height, true_w, true_h,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 3, win_rows, WIN_COLS), jnp.float32),
-            pltpu.VMEM((3, TILE_ROWS, TILE_COLS), jnp.float32),
-            pltpu.VMEM((2, 8 + TILE_ROWS, TILE_COLS), jnp.float32),
+            pltpu.VMEM((3, tile_rows, TILE_COLS), jnp.float32),
+            pltpu.VMEM((2, 8 + tile_rows, TILE_COLS), jnp.float32),
             pltpu.SMEM((2, 2), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -1035,8 +1047,9 @@ def check_view_budgets(yaws, pitches, rolls, *, width: int, height: int,
     (narrow/yaw or wide). Lets multi-device dispatchers validate a plan
     before building sharded programs."""
     pad_w = (-width) % TILE_COLS
-    pad_h = (-height) % TILE_ROWS
-    out_w, out_h = width + pad_w, height + pad_h
+    out_w = width + pad_w
+    out_h = height + (-height) % TILE_ROWS        # narrow/wide tile grid
+    out_h_yaw = height + (-height) % YAW_TILE_ROWS  # yaw tile grid
     for yv, pv, rv in zip(np.asarray(yaws, np.float64).reshape(-1),
                           np.asarray(pitches, np.float64).reshape(-1),
                           np.asarray(rolls, np.float64).reshape(-1)):
@@ -1098,8 +1111,11 @@ def _planar_width(src_w: int) -> int:
     return w + (-w) % 384
 
 
-def _planarize_kernel(rows_ref, out_ref):
-    """(BR, 3·BC) interleaved-RGB rows → (3, BR, BC) planar block."""
+def _planarize_kernel(rows_ref, out_ref, *, scale: float):
+    """(BR, 3·BC) interleaved-RGB rows → (3, BR, BC) planar f32 block.
+
+    ``scale`` fuses the uint8/uint16 normalization into the layout move,
+    so integer video frames never materialize an interleaved f32 copy."""
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_COLS), 1)
     br = rows_ref.shape[0]
     bc = out_ref.shape[2]
@@ -1111,18 +1127,24 @@ def _planarize_kernel(rows_ref, out_ref):
                 for b in range(3 * ob, 3 * ob + 3):
                     raw_blk = rows_ref[r0:r0 + 8,
                                        b * TILE_COLS:(b + 1) * TILE_COLS]
+                    if raw_blk.dtype != jnp.float32:
+                        # Mosaic has no direct u8->f32 cast; go via i32
+                        raw_blk = raw_blk.astype(jnp.int32) \
+                            .astype(jnp.float32)
                     gb = jnp.take_along_axis(
                         raw_blk,
                         jnp.clip(src_lane - b * TILE_COLS, 0,
                                  TILE_COLS - 1), axis=1)
                     gb = jnp.where((src_lane // TILE_COLS) == b, gb, 0.0)
                     g = gb if g is None else g + gb
+                if scale != 1.0:
+                    g = g * scale
                 out_ref[c, r0:r0 + 8,
                         ob * TILE_COLS:(ob + 1) * TILE_COLS] = g
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _planarize_rows(padded, interpret=False):
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _planarize_rows(padded, scale=1.0, interpret=False):
     """Seam-padded f32 rows (H, W'·3) → planar (3, H, W') on device.
 
     One pass over the source frame. Windows the warp kernels read overlap
@@ -1138,7 +1160,7 @@ def _planarize_rows(padded, interpret=False):
     BC = 384
     n_bc = wp // BC
     return pl.pallas_call(
-        _planarize_kernel,
+        functools.partial(_planarize_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((3, h, wp), jnp.float32),
         grid=(h // BR, n_bc),
         in_specs=[pl.BlockSpec((BR, 3 * BC), lambda i, j: (i, j),
@@ -1161,11 +1183,15 @@ def _planar_source(src_rows, interpret=False):
     """
     h, w3 = src_rows.shape
     w = w3 // 3
+    # seam-pad in the SOURCE dtype: for uint8 video the padded copy is 4x
+    # smaller than f32, and the normalization fuses into the planarize
+    # kernel's layout move
     if src_rows.dtype == jnp.uint8:
-        src_rows = src_rows.astype(jnp.float32) * (1.0 / 255.0)
+        scale = 1.0 / 255.0
     elif src_rows.dtype == jnp.uint16:
-        src_rows = src_rows.astype(jnp.float32) * (1.0 / 65535.0)
+        scale = 1.0 / 65535.0
     else:
+        scale = 1.0
         src_rows = src_rows.astype(jnp.float32)
     target_w = _planar_width(w)
     pad = target_w - w
@@ -1176,7 +1202,7 @@ def _planar_source(src_rows, interpret=False):
         fill = jnp.broadcast_to(padded[h - 1:h, :],
                                 ((-h) % 8, target_w * 3))
         padded = jnp.concatenate([padded, fill], axis=0)
-    return _planarize_rows(padded, interpret=interpret)
+    return _planarize_rows(padded, scale=scale, interpret=interpret)
 
 
 def _as_source_rows(src):
@@ -1218,8 +1244,9 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     src_w = int(src_rows.shape[1]) // 3
 
     pad_w = (-width) % TILE_COLS
-    pad_h = (-height) % TILE_ROWS
-    out_w, out_h = width + pad_w, height + pad_h
+    out_w = width + pad_w
+    out_h = height + (-height) % TILE_ROWS        # narrow/wide tile grid
+    out_h_yaw = height + (-height) % YAW_TILE_ROWS  # yaw tile grid
 
     # partition views: yaw-ring class (pitch=roll=0 — row-independent u,
     # ~8x cheaper horizontal stage), general narrow-window class, and the
@@ -1234,16 +1261,22 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     fisheye_out = projection in ("fisheye_v360", "equisolid")
     for i, (yv, pv, rv) in enumerate(zip(yaws, pitches, rolls)):
         if not fisheye_out:
+            if float(pv) % 360.0 == 0.0 and float(rv) % 360.0 == 0.0:
+                b = plan_view(out_w, out_h_yaw, hfov_deg, vfov_deg,
+                              float(yv), float(pv), float(rv), src_w,
+                              src_h, true_w=width, true_h=height,
+                              tile_rows=YAW_TILE_ROWS,
+                              row_classes=YAW_ROW_CLASSES)
+                if b is not None:
+                    yaw_idx.append(i)
+                    yaw_budgets.append(b)
+                    continue
             b = plan_view(out_w, out_h, hfov_deg, vfov_deg, float(yv),
                           float(pv), float(rv), src_w, src_h,
                           true_w=width, true_h=height)
             if b is not None:
-                if float(pv) % 360.0 == 0.0 and float(rv) % 360.0 == 0.0:
-                    yaw_idx.append(i)
-                    yaw_budgets.append(b)
-                else:
-                    narrow_idx.append(i)
-                    narrow_budgets.append(b)
+                narrow_idx.append(i)
+                narrow_budgets.append(b)
                 continue
         # fisheye outputs always use the wide class: the image-circle rim
         # sweeps every longitude, so no narrow window can hold a tile row
@@ -1270,43 +1303,45 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                 table[vi, 10] = math.tan(math.radians(vfov_deg) / 2.0)
         return jnp.asarray(table)
 
+    # each class runs on its own tile grid (yaw tiles are 32 rows), so
+    # every part is cropped to the true view size before concatenation
     parts = []
     planar_src = _planar_source(src_rows, interpret=interpret)
+
+    def crop(arr):
+        return arr[:, :, :height, :width] \
+            if arr.shape[2:] != (height, width) else arr
+
     if yaw_budgets:
-        parts.append(_warp_call_yaw(
+        parts.append(crop(_warp_call_yaw(
             planar_src, view_table(yaw_budgets),
-            width=out_w, height=out_h, true_w=width, true_h=height,
+            width=out_w, height=out_h_yaw, true_w=width, true_h=height,
             src_w=src_w, src_h=src_h,
             interp=interp,
             win_rows=max(b.win_rows for b in yaw_budgets),
-            n_views=len(yaw_budgets), interpret=interpret))
+            n_views=len(yaw_budgets), interpret=interpret)))
     if narrow_budgets:
-        parts.append(_warp_call(
+        parts.append(crop(_warp_call(
             planar_src, view_table(narrow_budgets),
             width=out_w, height=out_h, true_w=width, true_h=height,
             src_w=src_w, src_h=src_h,
             interp=interp,
             win_rows=max(b.win_rows for b in narrow_budgets),
-            n_views=len(narrow_budgets), interpret=interpret))
+            n_views=len(narrow_budgets), interpret=interpret)))
     if wide_budgets:
-        parts.append(_warp_call_wide(
+        parts.append(crop(_warp_call_wide(
             planar_src, view_table(wide_budgets),
             width=out_w, height=out_h, true_w=width, true_h=height,
             src_w=src_w, src_h=src_h,
             interp=interp,
             win_rows=max(b.win_rows for b in wide_budgets),
             n_views=len(wide_budgets), projection=projection,
-            interpret=interpret))
+            interpret=interpret)))
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     order = yaw_idx + narrow_idx + wide_idx
     if order != sorted(order):
         inv = np.argsort(np.asarray(order))
         out = out[jnp.asarray(inv)]
     if planar:
-        if pad_w or pad_h:
-            out = out[:, :, :height, :width]
         return out
-    out = jnp.transpose(out, (0, 2, 3, 1))
-    if pad_w or pad_h:
-        out = out[:, :height, :width, :]
-    return out
+    return jnp.transpose(out, (0, 2, 3, 1))
