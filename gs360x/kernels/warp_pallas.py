@@ -367,7 +367,7 @@ def _resample_tile_planar(win_raw, slot, urel, vrel, acc, *, R: int,
                                        + jnp.concatenate(adds, axis=0))
 
 
-def _resample_tile_yaw(win_raw, slot, urel, vrel, acc, *, R: int,
+def _resample_tile_yaw(win_raw, slot, urel, vrel, acc, ihbuf, *, R: int,
                        interp: str, tile_rows: int = TILE_ROWS):
     """Yaw-ring resample: ``urel`` is ROW-INDEPENDENT (all sublanes equal).
 
@@ -415,40 +415,48 @@ def _resample_tile_yaw(win_raw, slot, urel, vrel, acc, *, R: int,
         term = jnp.where(s_iota == xk, hw[k][0:1, :], 0.0)
         wx = term if wx is None else wx + term
 
-    # horizontal pass on the MXU: all R window rows, all channels
-    ih = [jnp.dot(win_raw[slot, c], wx,
-                  preferred_element_type=jnp.float32) for c in range(3)]
+    # horizontal pass on the MXU: all R window rows, all channels; IH
+    # parks in VMEM scratch so the vertical loop can slice it dynamically
+    for c in range(3):
+        ihbuf[c] = jnp.dot(win_raw[slot, c], wx,
+                           preferred_element_type=jnp.float32)
 
     if STOP_AFTER == "hpass":
         for c in range(3):
-            acc[c] = ih[c][0:tile_rows, :]
+            acc[c] = ihbuf[c, 0:tile_rows, :]
         return
 
-    # vertical pass: per 8-row output band, gather taps from IH chunks
+    # vertical pass: per 8-row output band, an exact-trip-count loop over
+    # ONLY the window chunks the band's taps touch (~2-3 of R/8); the band
+    # accumulator is loop-carried, so acc gets a single aligned write
     n_bands = tile_rows // 8
-    for c in range(3):
-        acc[c] = jnp.zeros((tile_rows, TILE_COLS), jnp.float32)
     for band in range(n_bands):
         rows = slice(band * 8, (band + 1) * 8)
         ymb = [jnp.clip(y0[rows, :] + (m + koff), 0, R - 1)
                for m in range(n_taps)]
         vwb = [vw[m][rows, :] for m in range(n_taps)]
         tb_lo, tb_hi = _chunk_bounds(vrel[rows, :], R)
-        for t in range(R // 8):
-            @pl.when((t >= tb_lo) & (t < tb_hi))
-            def _(t=t, ymb=ymb, vwb=vwb, rows=rows):
-                r0 = t * 8
-                ry = [jnp.clip(ymb[m] - r0, 0, 7) for m in range(n_taps)]
-                wv = [jnp.where((ymb[m] // 8) == t, vwb[m], 0.0)
-                      for m in range(n_taps)]
-                for c in range(3):
-                    ihc = ih[c][r0:r0 + 8, :]
-                    add = None
-                    for m in range(n_taps):
-                        gv = jnp.take_along_axis(ihc, ry[m], axis=0)
-                        term = gv * wv[m]
-                        add = term if add is None else add + term
-                    acc[c, rows, :] = acc[c, rows, :] + add
+
+        def chunk_body(t, vals, ymb=ymb, vwb=vwb):
+            r0 = pl.multiple_of(t * 8, 8)
+            ry = [jnp.clip(ymb[m] - r0, 0, 7) for m in range(n_taps)]
+            wv = [jnp.where((ymb[m] // 8) == t, vwb[m], 0.0)
+                  for m in range(n_taps)]
+            out = []
+            for c in range(3):
+                ihc = ihbuf[c, pl.ds(r0, 8), :]
+                add = vals[c]
+                for m in range(n_taps):
+                    gv = jnp.take_along_axis(ihc, ry[m], axis=0)
+                    add = add + gv * wv[m]
+                out.append(add)
+            return tuple(out)
+
+        init = tuple(jnp.zeros((8, TILE_COLS), jnp.float32)
+                     for _ in range(3))
+        vals = jax.lax.fori_loop(tb_lo, tb_hi, chunk_body, init)
+        for c in range(3):
+            acc[c, rows, :] = vals[c]
 
 
 def _resample_tile_wide(win_raw, slot, urel, vrel, acc, *, R: int,
@@ -671,8 +679,9 @@ def _warp_kernel_yaw(view_f32_ref,     # (V, 16) f32 SMEM: rot(9), tanh, tanv
                      src_hbm,          # (3, H8, W'') planar f32 in ANY/HBM
                      out_ref,          # (1, 3, TILE_ROWS, TILE_COLS) VMEM
                      win_raw,          # scratch (2, 3, R, WIN_COLS) f32
-                     acc,              # scratch (3, TILE_ROWS, TILE_COLS)
-                     geom,             # scratch (2, 8+TILE_ROWS, TILE_COLS)
+                     acc,              # scratch (3, tile_rows, TILE_COLS)
+                     ihbuf,            # scratch (3, R, TILE_COLS) h-pass
+                     geom,             # scratch (2, 8+tile_rows, TILE_COLS)
                      rmcm,             # scratch SMEM (2, 2) i32
                      sems,             # DMA semaphores (2,)
                      *, interp: str, win_rows: int, src_w: int,
@@ -774,8 +783,8 @@ def _warp_kernel_yaw(view_f32_ref,     # (V, 16) f32 SMEM: rot(9), tanh, tanv
                                    + vrel)
         return
 
-    _resample_tile_yaw(win_raw, slot, urel, vrel, acc, R=R, interp=interp,
-                       tile_rows=tile_rows)
+    _resample_tile_yaw(win_raw, slot, urel, vrel, acc, ihbuf, R=R,
+                       interp=interp, tile_rows=tile_rows)
 
     for c in range(3):
         out_ref[0, c, :, :] = acc[c]
@@ -824,6 +833,7 @@ def _warp_call_yaw(src_rows, view_f32, *, width, height, true_w, true_h,
         scratch_shapes=[
             pltpu.VMEM((2, 3, win_rows, WIN_COLS), jnp.float32),
             pltpu.VMEM((3, tile_rows, TILE_COLS), jnp.float32),
+            pltpu.VMEM((3, win_rows, TILE_COLS), jnp.float32),
             pltpu.VMEM((2, 8 + tile_rows, TILE_COLS), jnp.float32),
             pltpu.SMEM((2, 2), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
