@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gs360x.kernels.warp_pallas import (
-    H_MARGIN, N_BLOCKS, ROW_CLASSES, TILE_COLS, TILE_ROWS, V_MARGIN,
+    H_MARGIN, ROW_CLASSES, TILE_COLS, TILE_ROWS, V_MARGIN,
     WIN_COLS, PallasFallback, _planar_source, _resample_tile_planar)
 
 __all__ = ["PreparedRemap", "remap_pallas", "plan_remap_tiles"]

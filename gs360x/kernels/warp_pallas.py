@@ -1,43 +1,50 @@
-"""Fused Pallas TPU warp kernel — the fast path for equirect → view cuts.
+"""Pallas TPU warp kernels — the fast path for equirect → view cuts.
 
-Why this exists: XLA's general gather on TPU runs at ~44M indices/s, capping
-the XLA warp backend at single-digit 8K→1080p views/sec, and XLA's
-HWC→planar transpose of an 8K frame is similarly unusable. This kernel
-avoids both: it consumes the interleaved HWC frame directly and never
-issues a general gather.
+Why this exists: XLA's general gather on TPU runs at ~44M indices/s,
+capping the XLA warp backend at single-digit 8K→1080p views/sec, and
+XLA's HWC→planar transpose of an 8K frame is similarly unusable.
 
-Per output tile (8 × 128 pixels):
+Architecture (round 2):
 
-1. **Window DMA** — a double-buffered ``make_async_copy`` pulls the source
-   window ``(R, 3·WIN_COLS)`` (rows × interleaved-RGB lanes) straight out
-   of the HWC frame in HBM. Offsets are recomputed in-kernel from the view
-   geometry (closed-form ray math — no per-tile scalar tables).
-2. **De-interleave** — RGB→planar inside VMEM using lane shuffles with
-   *compile-time-constant* indices (``tpu.dynamic_gather`` along lanes,
-   three 128-lane blocks per output block).
-3. **Horizontal resample** — per output row, 4 Lagrange taps fetched with
-   per-element lane shuffles over the window's three 128-lane blocks.
-4. **Vertical resample** — single-vreg sublane gathers
-   (``take_along_axis(..., axis=0)`` on (8, 128)) composed hierarchically
-   over R/8 candidate vregs. Window-chunk activity is gated per 8-row
-   output group (not per tile), skipping the horizontal gathers a
-   tile-wide gate would compute and mask to zero.
+0. **Planar source pass** (:func:`_planar_source`): one Mosaic sweep
+   turns the interleaved (H, W·3) uint8/uint16/f32 frame into a
+   seam-padded planar (3, H, W'') f32 array. Windows the warp kernels
+   read overlap ~4× at production slopes, so de-interleaving per window
+   (as round 1 did) paid the ~8-op lane-shuffle cost four times over;
+   integer normalization fuses into the same pass.
 
-All views of a frame run in ONE ``pallas_call`` (grid = total tiles);
-output is planar ``(V, 3, H, W)`` blocks transposed to HWC by the caller
-(small, cheap direction).
+1. **Yaw-ring kernel** (:func:`_warp_kernel_yaw`) — pitch=roll=0 views,
+   the default preset's camera ring. ``u`` is row-independent (``atan2``
+   is scale-invariant in the ray normalisation), so the horizontal
+   resample is ONE lane-varying linear map per 32-row tile: built as a
+   4-tap one-hot matrix and run on the **MXU** (``IH = win @ Wx``). The
+   vertical stage runs an exact-trip ``fori_loop`` over the ~2-3 window
+   chunks each 8-row band touches, gathering all 8 rows per sublane
+   shuffle. Per-tile geometry is computed once — each tile computes its
+   successor's coordinates for the DMA prefetch and parks them in
+   scratch (grid steps are sequential per core).
+
+2. **General narrow kernel** (:func:`_warp_kernel`) — tilted/rolled
+   views whose per-tile span fits a 384-col window: per-group hoisted
+   tap indices + block-folded weights over (8,128) lane gathers.
+
+3. **Wide kernel** (:func:`_warp_kernel_wide`) — poles in view, extreme
+   slopes, and fisheye output projections (equidistant/equisolid ray
+   models with in-kernel ``sin``/``cos`` minimax polys + image-circle
+   masking): full-width short windows, per-group dynamic block ranges.
+
+A cached EXACT host planner (stride-1 numpy twin of the ray math)
+assigns each view a kernel class and window row budget; mixed view sets
+dispatch per class and re-order after. Views beyond every budget raise
+:class:`PallasFallback` and the caller transparently uses the XLA
+backend.
 
 Exactness: identical sampling math to :mod:`gs360x.kernels.warp` (v360
-conventions, Lagrange bicubic): every tap reads ``src[y0+m, x0+k]`` at the
-pixel's own fractional coordinates — no separable approximation; agreement
-with the XLA backend is ~1e-6. ``atan2``/``asin`` are Cephes-style minimax
-polynomials (Mosaic has no transcendental primitives), ~1e-7 rad.
-
-A host-side planner (numpy twin of the ray math) validates each view
-against the static window budget (horizontal span, vertical span per row
-class). Views that exceed it — extreme pitch (poles in view), horizontal
-slope ≥ ~1.9 source px per output px — raise :class:`PallasFallback` and
-the caller transparently uses the XLA backend.
+conventions, Lagrange bicubic): every tap reads ``src[y0+m, x0+k]`` at
+the pixel's own fractional coordinates — no separable approximation;
+agreement with the XLA backend is ~1e-5 (1e-4 near poles, where the
+~1e-7-rad trig polynomial error is magnified). Headline: ~801 8K→1080p
+bicubic views/s on one v5e chip (XLA lowering: ~2).
 """
 
 from __future__ import annotations
@@ -53,7 +60,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-STOP_AFTER = "full"     # dev triage knob: geom_dma|deint|hgather|full
+STOP_AFTER = "full"     # dev triage knob: geom_dma|hpass|full
 TILE_ROWS = 16          # output rows per tile (multiple of 8)
 TILE_COLS = 128         # output cols per tile (one lane vreg)
 WIN_COLS = 384          # window cols: three 128-lane blocks, origin 128-aligned
@@ -1060,14 +1067,24 @@ def check_view_budgets(yaws, pitches, rolls, *, width: int, height: int,
     out_w = width + pad_w
     out_h = height + (-height) % TILE_ROWS        # narrow/wide tile grid
     out_h_yaw = height + (-height) % YAW_TILE_ROWS  # yaw tile grid
+    out_h_yaw = height + (-height) % YAW_TILE_ROWS
     for yv, pv, rv in zip(np.asarray(yaws, np.float64).reshape(-1),
                           np.asarray(pitches, np.float64).reshape(-1),
                           np.asarray(rolls, np.float64).reshape(-1)):
+        if float(pv) % 360.0 == 0.0 and float(rv) % 360.0 == 0.0 \
+                and plan_view(out_w, out_h_yaw, hfov_deg, vfov_deg,
+                              float(yv), float(pv), float(rv), src_w,
+                              src_h, true_w=width, true_h=height,
+                              tile_rows=YAW_TILE_ROWS,
+                              row_classes=YAW_ROW_CLASSES) is not None:
+            continue
         if plan_view(out_w, out_h, hfov_deg, vfov_deg, float(yv),
-                     float(pv), float(rv), src_w, src_h) is None \
+                     float(pv), float(rv), src_w, src_h, true_w=width,
+                     true_h=height) is None \
                 and plan_view_wide(out_w, out_h, hfov_deg, vfov_deg,
                                    float(yv), float(pv), float(rv),
-                                   src_w, src_h) is None:
+                                   src_w, src_h, true_w=width,
+                                   true_h=height) is None:
             raise PallasFallback(
                 f"view yaw={yv} pitch={pv} exceeds window budgets")
 

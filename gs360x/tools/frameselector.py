@@ -32,9 +32,6 @@ from typing import Dict, List, Optional, Sequence, Set, Tuple
 import numpy as np
 
 from gs360x.kernels import sharpness as sharp
-from gs360x.kernels.sharpness import (
-    HYBRID_DARK_THRESHOLD,
-)
 
 # constants mirrored from the reference (gs360_FrameSelector.py:311-345)
 FLOW_DOWNSCALE = 320
