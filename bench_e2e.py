@@ -65,8 +65,18 @@ def scenario_perspcut_default(root, full):
     wall = time.time() - t0
     n_out = len(list(out.glob("*.jpg")))
     assert rc == 0 and n_out == n_frames * 8, (rc, n_out)
+    # warm pass: the first run pays the Mosaic compile for this shape
+    # (minutes through the remote compiler); production runs amortize it
+    out2 = root / "cuts_warm"
+    t0 = time.time()
+    rc = perspcut.main(["-i", str(panos), "-o", str(out2),
+                        "--size", str(size)])
+    warm = time.time() - t0
+    assert rc == 0
     return {"scenario": "perspcut_default", "wall_s": round(wall, 2),
-            "views": n_out, "views_per_s": round(n_out / wall, 2)}
+            "views": n_out, "views_per_s": round(n_out / wall, 2),
+            "warm_wall_s": round(warm, 2),
+            "warm_views_per_s": round(n_out / warm, 2)}
 
 
 def scenario_extract_select(root, full):
