@@ -45,6 +45,14 @@ def lonlat_pano(w, h, shift=0.0, dtype=np.uint8):
     return (img * 255).astype(dtype)
 
 
+def pano_sequence(w, h, n, step=0.05):
+    """n drifting panos as horizontal rolls of one base frame — the
+    full-size trig costs seconds per 8K frame; a roll is a memcpy."""
+    base = lonlat_pano(w, h)
+    px = max(1, int(step / (2.0 * math.pi) * w))
+    return [np.roll(base, -(i * px) % w, axis=1) for i in range(n)]
+
+
 def scenario_perspcut_default(root, full):
     """One 5.7K equirect frame -> default-preset perspective cuts."""
     from gs360x.tools import perspcut
@@ -87,8 +95,7 @@ def scenario_extract_select(root, full):
     w, h = (3840, 1920) if full else (1024, 512)
     seconds, fps = (30, 10) if full else (10, 10)
     clip = root / "clip.y4m"
-    frames = [lonlat_pano(w, h, shift=i * 0.05 + 0.2 * (i % 3 == 0))
-              for i in range(seconds * fps)]
+    frames = pano_sequence(w, h, seconds * fps)
     vio.write_y4m(clip, frames, fps=float(fps))
     out = root / "frames"
     t0 = time.time()
@@ -116,8 +123,7 @@ def scenario_video_export(root, full):
     n_frames = 300 if full else 20
     size = 1080 if full else 384
     clip = root / "pano.y4m"
-    vio.write_y4m(clip, [lonlat_pano(w, h, shift=i * 0.1)
-                         for i in range(n_frames)], fps=10.0)
+    vio.write_y4m(clip, pano_sequence(w, h, n_frames, step=0.1), fps=10.0)
     out = root / "vcuts"
     t0 = time.time()
     rc = perspcut.main(["-i", str(clip), "-o", str(out), "-f", "10",
