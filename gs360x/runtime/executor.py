@@ -383,10 +383,13 @@ def _warp_frames_batch(frames, views, *, interp, keep_rec709,
 
 
 def _run_video_sharded(plan, writer, report, stop_event, tick, interp,
-                       jpeg_quality, overwrite, timers, n_dev) -> None:
-    """Multi-device video path: frames batch ``n_dev`` at a time and shard
-    over the data mesh (image-dir mode stays single-device — its
-    overwrite guard makes per-source view sets ragged)."""
+                       jpeg_quality, overwrite, timers, n_batch,
+                       backend="auto") -> None:
+    """Batched video path: frames batch ``n_batch`` at a time, shard over
+    the data mesh, and run as ONE device program per batch (all frames x
+    views in a single launch — per-launch latency amortizes even on one
+    chip; image-dir mode stays per-source — its overwrite guard makes
+    view sets ragged)."""
     from gs360x.runtime.mesh import data_mesh
 
     mesh = data_mesh()
@@ -397,6 +400,7 @@ def _run_video_sharded(plan, writer, report, stop_event, tick, interp,
     frame_iter = videolib.iter_frames(source, fps=plan.fps,
                                       start=plan.start_time,
                                       end=plan.end_time)
+    n_dev = len(jax.devices())
     done = 0
     total_est = report.total
     pending = None  # (idxs, results) on device, not yet fetched
@@ -433,14 +437,14 @@ def _run_video_sharded(plan, writer, report, stop_event, tick, interp,
             return
         idxs = list(batch_idx)
         rgbs = list(batch_rgb)
-        while len(rgbs) < n_dev:     # pad the tail batch
+        while len(rgbs) < n_batch:   # pad the tail batch
             idxs.append(None)
             rgbs.append(rgbs[-1])
         with timers.stage("warp_dispatch"):
             results = _warp_frames_batch(
                 rgbs, views, interp=interp,
                 keep_rec709=plan.keep_rec709 if plan.video_mode else None,
-                quantize_bits=qbits, mesh=mesh)
+                quantize_bits=qbits, mesh=mesh, backend=backend)
         if pending is not None:
             drain(pending)
         pending = (idxs, results)
@@ -448,7 +452,7 @@ def _run_video_sharded(plan, writer, report, stop_event, tick, interp,
 
     for idx, _t, rgb in _Prefetcher(
             timers.wrap_iter("decode", frame_iter), stop_event,
-            depth=n_dev + 1):
+            depth=n_batch + 1):
         if stop_event.is_set():
             return
         if plan.selected_frames is not None \
@@ -456,7 +460,7 @@ def _run_video_sharded(plan, writer, report, stop_event, tick, interp,
             continue  # CSV frame selection
         batch_idx.append(idx)
         batch_rgb.append(np.ascontiguousarray(rgb))
-        if len(batch_rgb) == n_dev:
+        if len(batch_rgb) == n_batch:
             flush()
     flush()
     if pending is not None and not stop_event.is_set():
@@ -482,13 +486,16 @@ def _run_video(plan, writer, report, stop_event, tick, backend, interp,
     report.total = total_est
 
     n_dev = len(jax.devices())
-    if n_dev > 1 and (backend == "xla" or (
-            backend == "auto"
-            and warplib.default_device_platform() != "tpu")):
-        # multi-device: shard frame batches over the data mesh (XLA path;
-        # the pallas kernel is per-device and stays on the 1-chip path)
+    if backend in ("auto", "xla", "pallas"):
+        # batched path: frames group into one device program per batch
+        # (sharded across chips when there are several; >=4 frames per
+        # launch on TPU to amortize launch latency — launch cost is
+        # negligible on CPU and bigger batches just slow compiles)
+        per_launch = 4 if warplib.default_device_platform() == "tpu" else 1
+        n_batch = n_dev * max(1, -(-per_launch // n_dev))
         _run_video_sharded(plan, writer, report, stop_event, tick, interp,
-                           jpeg_quality, overwrite, timers, n_dev)
+                           jpeg_quality, overwrite, timers, n_batch,
+                           backend=backend)
         return
 
     frame_iter = videolib.iter_frames(source, fps=plan.fps, start=plan.start_time,
