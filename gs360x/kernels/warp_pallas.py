@@ -104,6 +104,7 @@ def _np_view_coords(width, height, hfov_deg, vfov_deg, rot, src_w, src_h):
 class ViewBudget:
     win_rows: int
     rot: np.ndarray
+    win_cols: int = 384
 
 
 @functools.lru_cache(maxsize=4096)
@@ -111,7 +112,8 @@ def plan_view(width: int, height: int, hfov_deg: float, vfov_deg: float,
               yaw_deg: float, pitch_deg: float, roll_deg: float,
               src_w: int, src_h: int, true_w: Optional[int] = None,
               true_h: Optional[int] = None, tile_rows: int = TILE_ROWS,
-              row_classes: tuple = ROW_CLASSES) -> Optional[ViewBudget]:
+              row_classes: tuple = ROW_CLASSES,
+              win_cols: int = WIN_COLS) -> Optional[ViewBudget]:
     """Validate a view against the kernel's static window budget.
 
     Cached: view geometry is static across frames. Sampling is EXACT
@@ -139,11 +141,12 @@ def plan_view(width: int, height: int, hfov_deg: float, vfov_deg: float,
               + 2 * H_MARGIN + 2 * margin)
     v_span = (vc.max(axis=(1, 3)) - vc.min(axis=(1, 3))
               + 2 * V_MARGIN + 2 * margin)
-    if (h_span > WIN_COLS - 131).any():  # 127 col-alignment + 4 slack
+    if (h_span > win_cols - 131).any():  # 127 col-alignment + 4 slack
         return None
     for r in row_classes:
         if float(v_span.max()) <= r - 9:  # 7 rows row-alignment slack
-            return ViewBudget(win_rows=r, rot=rot.astype(np.float32))
+            return ViewBudget(win_rows=r, rot=rot.astype(np.float32),
+                              win_cols=win_cols)
     return None
 
 
@@ -278,7 +281,7 @@ def _chunk_bounds(vrelw, R: int):
 
 
 def _resample_tile_planar(win_raw, slot, urel, vrel, acc, *, R: int,
-                          interp: str):
+                          interp: str, win_cols: int = WIN_COLS):
     """General-geometry resample over a PLANAR window (3, R, WIN_COLS).
 
     vs the interleaved-window core (`_resample_tile`): the in-window
@@ -324,15 +327,16 @@ def _resample_tile_planar(win_raw, slot, urel, vrel, acc, *, R: int,
         # hoisted horizontal tap state (chunk- and channel-invariant)
         relb = []   # [k][b] (GROUP*8, 128) i32 in-block lane indices
         wfb = []    # [k][b] (GROUP*8, 128) f32 block-masked weights
+        n_blocks = win_cols // TILE_COLS
         for k in range(n_taps):
             xi = stack_rows([jnp.clip(x0[i:i + 1, :] + (k + koff), 0,
-                                      WIN_COLS - 1) for i in rows])
+                                      win_cols - 1) for i in rows])
             hws = stack_rows([hw[k][i:i + 1, :] for i in rows])
             blk_of = xi // TILE_COLS
             relb.append([jnp.clip(xi - b * TILE_COLS, 0, TILE_COLS - 1)
-                         for b in range(N_BLOCKS)])
+                         for b in range(n_blocks)])
             wfb.append([jnp.where(blk_of == b, hws, 0.0)
-                        for b in range(N_BLOCKS)])
+                        for b in range(n_blocks)])
         ym = [[jnp.clip(y0[i:i + 1, :] + (m + koff), 0, R - 1)
                for m in range(n_taps)] for i in rows]
         vwr = [[vw[m][i:i + 1, :] for m in range(n_taps)] for i in rows]
@@ -352,13 +356,18 @@ def _resample_tile_planar(win_raw, slot, urel, vrel, acc, *, R: int,
                     rep = [jnp.concatenate(
                         [win_raw[slot, c, r0:r0 + 8,
                                  b * TILE_COLS:(b + 1) * TILE_COLS]] * GROUP,
-                        axis=0) for b in range(N_BLOCKS)]
+                        axis=0) for b in range(n_blocks)]
                     ih = None
                     for k in range(n_taps):
-                        for b in range(N_BLOCKS):
+                        for b in range(n_blocks):
                             term = jnp.take_along_axis(
                                 rep[b], relb[k][b], axis=1) * wfb[k][b]
                             ih = term if ih is None else ih + term
+                    if STOP_AFTER == "hpass":
+                        band = slice(gi * GROUP, (gi + 1) * GROUP)
+                        acc[c, band, :] = (acc[c, band, :]
+                                           + ih[0:GROUP, :])
+                        continue
                     adds = []
                     for r in range(GROUP):
                         ih_r = ih[r * 8:(r + 1) * 8, :]
@@ -578,7 +587,7 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
                  sems,                 # DMA semaphores (2,)
                  *, interp: str, win_rows: int, src_w: int, src_h: int,
                  geo_w: int, geo_h: int, n_tiles_x: int,
-                 tiles_per_view: int):
+                 tiles_per_view: int, win_cols: int = WIN_COLS):
     R = win_rows
     tile = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -637,7 +646,7 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
 
     def dma(slot, rm, cm):
         return pltpu.make_async_copy(
-            src_hbm.at[:, pl.ds(rm, R), pl.ds(cm, WIN_COLS)],
+            src_hbm.at[:, pl.ds(rm, R), pl.ds(cm, win_cols)],
             win_raw.at[slot], sems.at[slot])
 
     # geometry carry — see _warp_kernel_yaw: each tile's geometry is
@@ -674,7 +683,8 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
             out_ref[0, c, :, :] = win_raw[slot, c, 0:TILE_ROWS, 0:128] + urel
         return
 
-    _resample_tile_planar(win_raw, slot, urel, vrel, acc, R=R, interp=interp)
+    _resample_tile_planar(win_raw, slot, urel, vrel, acc, R=R,
+                          interp=interp, win_cols=win_cols)
 
     for c in range(3):
         out_ref[0, c, :, :] = acc[c]
@@ -796,6 +806,13 @@ def _warp_kernel_yaw(view_f32_ref,     # (V, 16) f32 SMEM: rot(9), tanh, tanv
     for c in range(3):
         out_ref[0, c, :, :] = acc[c]
 
+
+# tilted (pitch/roll != 0) views stretch horizontally toward high
+# latitudes (du/dj ~ 1/cos lat): a second narrow width class with taller
+# row budgets serves them with static hoisted gathers instead of the
+# wide kernel's dynamic block loop
+TILT_WIN_COLS = 640
+TILT_ROW_CLASSES = (16, 48, 96, 152)
 
 # yaw-class tiles are 32 rows tall: the cheap MXU h-pass makes per-tile
 # fixed costs (geometry trig, DMA descriptors, grid steps) the bottleneck,
@@ -1081,6 +1098,11 @@ def check_view_budgets(yaws, pitches, rolls, *, width: int, height: int,
         if plan_view(out_w, out_h, hfov_deg, vfov_deg, float(yv),
                      float(pv), float(rv), src_w, src_h, true_w=width,
                      true_h=height) is None \
+                and plan_view(out_w, out_h, hfov_deg, vfov_deg,
+                              float(yv), float(pv), float(rv), src_w,
+                              src_h, true_w=width, true_h=height,
+                              row_classes=TILT_ROW_CLASSES,
+                              win_cols=TILT_WIN_COLS) is None \
                 and plan_view_wide(out_w, out_h, hfov_deg, vfov_deg,
                                    float(yv), float(pv), float(rv),
                                    src_w, src_h, true_w=width,
@@ -1092,9 +1114,11 @@ def check_view_budgets(yaws, pitches, rolls, *, width: int, height: int,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "true_w", "true_h", "src_w",
-                     "src_h", "interp", "win_rows", "n_views", "interpret"))
+                     "src_h", "interp", "win_rows", "n_views", "win_cols",
+                     "interpret"))
 def _warp_call(src_rows, view_f32, *, width, height, true_w, true_h,
-               src_w, src_h, interp, win_rows, n_views, interpret=False):
+               src_w, src_h, interp, win_rows, n_views,
+               win_cols=WIN_COLS, interpret=False):
     n_tiles_x = width // TILE_COLS
     tiles_per_view = (height // TILE_ROWS) * n_tiles_x
     n_tiles = tiles_per_view * n_views
@@ -1102,7 +1126,7 @@ def _warp_call(src_rows, view_f32, *, width, height, true_w, true_h,
     kernel = functools.partial(
         _warp_kernel, interp=interp, win_rows=win_rows, src_w=src_w,
         src_h=src_h, geo_w=true_w, geo_h=true_h, n_tiles_x=n_tiles_x,
-        tiles_per_view=tiles_per_view)
+        tiles_per_view=tiles_per_view, win_cols=win_cols)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_views, 3, height, width),
@@ -1120,7 +1144,7 @@ def _warp_call(src_rows, view_f32, *, width, height, true_w, true_h,
                        (t % tiles_per_view) % n_tiles_x),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, win_rows, WIN_COLS), jnp.float32),
+            pltpu.VMEM((2, 3, win_rows, win_cols), jnp.float32),
             pltpu.VMEM((3, TILE_ROWS, TILE_COLS), jnp.float32),
             pltpu.VMEM((2, 2 * TILE_ROWS, TILE_COLS), jnp.float32),
             pltpu.SMEM((2, 2), jnp.int32),
@@ -1133,8 +1157,11 @@ def _warp_call(src_rows, view_f32, *, width, height, true_w, true_h,
 
 
 def _planar_width(src_w: int) -> int:
-    """Padded planar source width: seam wrap + 384-lane alignment."""
-    w = src_w + WIN_COLS
+    """Padded planar source width: seam wrap + 384-lane alignment.
+
+    The wrap pad must cover the WIDEST narrow window class (a window
+    whose 128-aligned origin sits at src_w-128 reads cm+win_cols)."""
+    w = src_w + TILT_WIN_COLS + 128
     return w + (-w) % 384
 
 
@@ -1283,6 +1310,8 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     yaw_budgets: List[ViewBudget] = []
     narrow_idx: List[int] = []
     narrow_budgets: List[ViewBudget] = []
+    tilt_idx: List[int] = []
+    tilt_budgets: List[ViewBudget] = []
     wide_idx: List[int] = []
     wide_budgets: List[ViewBudget] = []
     fisheye_out = projection in ("fisheye_v360", "equisolid")
@@ -1304,6 +1333,17 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
             if b is not None:
                 narrow_idx.append(i)
                 narrow_budgets.append(b)
+                continue
+            # tilted class: wider window + taller row budgets for the
+            # 1/cos(lat) horizontal stretch of pitched/rolled views
+            b = plan_view(out_w, out_h, hfov_deg, vfov_deg, float(yv),
+                          float(pv), float(rv), src_w, src_h,
+                          true_w=width, true_h=height,
+                          row_classes=TILT_ROW_CLASSES,
+                          win_cols=TILT_WIN_COLS)
+            if b is not None:
+                tilt_idx.append(i)
+                tilt_budgets.append(b)
                 continue
         # fisheye outputs always use the wide class: the image-circle rim
         # sweeps every longitude, so no narrow window can hold a tile row
@@ -1355,6 +1395,15 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
             interp=interp,
             win_rows=max(b.win_rows for b in narrow_budgets),
             n_views=len(narrow_budgets), interpret=interpret)))
+    if tilt_budgets:
+        parts.append(crop(_warp_call(
+            planar_src, view_table(tilt_budgets),
+            width=out_w, height=out_h, true_w=width, true_h=height,
+            src_w=src_w, src_h=src_h,
+            interp=interp,
+            win_rows=max(b.win_rows for b in tilt_budgets),
+            n_views=len(tilt_budgets), win_cols=TILT_WIN_COLS,
+            interpret=interpret)))
     if wide_budgets:
         parts.append(crop(_warp_call_wide(
             planar_src, view_table(wide_budgets),
@@ -1365,7 +1414,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
             n_views=len(wide_budgets), projection=projection,
             interpret=interpret)))
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-    order = yaw_idx + narrow_idx + wide_idx
+    order = yaw_idx + narrow_idx + tilt_idx + wide_idx
     if order != sorted(order):
         inv = np.argsort(np.asarray(order))
         out = out[jnp.asarray(inv)]

@@ -110,6 +110,35 @@ class TestYawRingKernel:
         np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)
 
 
+class TestTiltWindowClass:
+    """Pitched views stretch horizontally toward high latitudes
+    (du/dj ~ 1/cos lat); the tilted narrow class (640-col windows,
+    152-row budget) serves them without the wide kernel's dynamic
+    block loop."""
+
+    def test_pitch30_routes_tilt_and_matches_xla(self):
+        src = lonlat_pano(1024, 512)
+        b = warp_pallas.plan_view(256, 128, 112.6, 73.7, 45.0, -30.0,
+                                  0.0, 1024, 512, true_w=256, true_h=128)
+        bt = warp_pallas.plan_view(
+            256, 128, 112.6, 73.7, 45.0, -30.0, 0.0, 1024, 512,
+            true_w=256, true_h=128,
+            row_classes=warp_pallas.TILT_ROW_CLASSES,
+            win_cols=warp_pallas.TILT_WIN_COLS)
+        assert b is None and bt is not None
+        assert bt.win_cols == warp_pallas.TILT_WIN_COLS
+        ref = np.asarray(warp.warp_equirect_to_views(
+            src, np.array([45.0], np.float32),
+            np.array([-30.0], np.float32), np.array([0.0], np.float32),
+            interp="bicubic", backend="xla", width=256, height=128,
+            hfov_deg=112.6, vfov_deg=73.7))
+        out = warp_pallas.warp_equirect_to_views_pallas(
+            src, np.array([45.0]), np.array([-30.0]), np.array([0.0]),
+            width=256, height=128, hfov_deg=112.6, vfov_deg=73.7,
+            interp="bicubic", interpret=True)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
 class TestWideWindowKernel:
     """Views the narrow budget rejects now run on the wide-window kernel
     (full-width short windows) — parity against the XLA backend."""
@@ -197,15 +226,19 @@ class TestFisheyeOutputs:
 
     FKW = dict(width=128, height=128, hfov_deg=180.0, vfov_deg=180.0)
 
-    @pytest.mark.parametrize("projection", ["fisheye_v360", "equisolid"])
-    def test_matches_xla(self, projection):
+    # equisolid runs bilinear to keep interpret-mode runtime sane; the
+    # projection math under test is identical across interps
+    @pytest.mark.parametrize("projection,interp",
+                             [("fisheye_v360", "bicubic"),
+                              ("equisolid", "bilinear")])
+    def test_matches_xla(self, projection, interp):
         ref = np.asarray(warp.warp_equirect_to_views(
             SRC, np.array([30.0], np.float32), np.array([0.0], np.float32),
-            np.array([0.0], np.float32), interp="bicubic", backend="xla",
+            np.array([0.0], np.float32), interp=interp, backend="xla",
             projection=projection, **self.FKW))
         out = warp_pallas.warp_equirect_to_views_pallas(
             SRC, np.array([30.0]), np.array([0.0]), np.array([0.0]),
-            interp="bicubic", projection=projection, interpret=True,
+            interp=interp, projection=projection, interpret=True,
             **self.FKW)
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
 
