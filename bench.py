@@ -103,6 +103,42 @@ def main():
         log(f"[bench] xla path failed: {type(exc).__name__}: "
             f"{str(exc)[:300]}")
 
+    # per-class measurements (VERDICT r2 #5: regressions in the slow
+    # classes must be visible to the driver, not just the yaw best case)
+    classes = {}
+    try:
+        from gs360x.kernels import warp_pallas as wp
+
+        def run_cfg(yaws_c, pitches_c, w, h, hf, vf, projection):
+            def fn():
+                return wp.warp_equirect_to_views_pallas(
+                    rows, yaws_c, pitches_c, np.zeros_like(yaws_c),
+                    width=w, height=h, hfov_deg=hf, vfov_deg=vf,
+                    projection=projection, interp="bicubic", planar=True)
+            per = timed_throughput(fn, sync, reps=5)
+            return len(yaws_c) / per
+
+        # full360coverage: 4 yaw + 8 pitched +-30 at 1600^2 (the BASELINE
+        # scenario-3 geometry)
+        f360_yaws = np.array([0., 90., 180., -90.,
+                              45., 135., -135., -45.,
+                              45., 135., -135., -45.])
+        f360_pitch = np.array([0.] * 4 + [30.] * 4 + [-30.] * 4)
+        classes["full360_effective"] = run_cfg(
+            f360_yaws, f360_pitch, 1600, 1600,
+            104.2500326978036, 104.2500326978036, "perspective")
+        classes["tilt"] = run_cfg(
+            f360_yaws[4:], f360_pitch[4:], 1600, 1600,
+            104.2500326978036, 104.2500326978036, "perspective")
+        classes["fisheye_pair"] = run_cfg(
+            np.array([0., 180.]), np.zeros(2), 1792, 1792,
+            190.0, 190.0, "fisheye_v360")
+        for name, v in classes.items():
+            log(f"[bench] class {name}: {v:.1f} views/s")
+    except Exception as exc:
+        log(f"[bench] per-class bench failed: {type(exc).__name__}: "
+            f"{str(exc)[:300]}")
+
     if not results:
         print(json.dumps({"metric": "8K->1080p perspective cuts/sec/chip",
                           "value": 0.0, "unit": "views/s",
@@ -111,12 +147,15 @@ def main():
 
     best_name, best = max(results.items(), key=lambda kv: kv[1])
     log(f"[bench] best backend: {best_name}")
-    print(json.dumps({
+    payload = {
         "metric": "8K->1080p perspective cuts/sec/chip (8-view bicubic warp)",
         "value": round(best, 2),
         "unit": "views/s",
         "vs_baseline": round(best / BASELINE_VIEWS_PER_SEC, 4),
-    }))
+    }
+    for name, v in classes.items():
+        payload[f"class_{name}"] = round(v, 2)
+    print(json.dumps(payload))
     return 0
 
 

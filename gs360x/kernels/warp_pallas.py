@@ -442,9 +442,17 @@ def _resample_tile_yaw(win_raw, slot, urel, vrel, acc, ihbuf, *, R: int,
             acc[c] = ihbuf[c, 0:tile_rows, :]
         return
 
-    # vertical pass: per 8-row output band, an exact-trip-count loop over
-    # ONLY the window chunks the band's taps touch (~2-3 of R/8); the band
-    # accumulator is loop-carried, so acc gets a single aligned write
+    _yaw_vpass(ihbuf, vrel, y0, vw, acc, R=R, n_taps=n_taps, koff=koff,
+               tile_rows=tile_rows)
+
+
+def _yaw_vpass(ihbuf, vrel, y0, vw, acc, *, R: int, n_taps: int, koff: int,
+               tile_rows: int):
+    """Vertical resample of the MXU h-pass result (shared by yaw v1/v2).
+
+    Per 8-row output band, an exact-trip-count loop over ONLY the window
+    chunks the band's taps touch (~2-3 of R/8); the band accumulator is
+    loop-carried, so acc gets a single aligned write."""
     n_bands = tile_rows // 8
     for band in range(n_bands):
         rows = slice(band * 8, (band + 1) * 8)
@@ -817,9 +825,11 @@ TILT_ROW_CLASSES = (16, 48, 96, 152)
 # yaw-class tiles are 32 rows tall: the cheap MXU h-pass makes per-tile
 # fixed costs (geometry trig, DMA descriptors, grid steps) the bottleneck,
 # and taller tiles also shrink window overlap (1.8 -> 1.2 GB per 8-view
-# 8K frame). Row classes grow accordingly.
+# 8K frame). Row classes grow accordingly; the 40/48 steps matter because
+# both the window DMA and the MXU h-pass scale linearly with R (default
+# preset tiles span ~35 rows — R=64 was paying 33% extra on both).
 YAW_TILE_ROWS = 32
-YAW_ROW_CLASSES = (32, 64, 96, 128)
+YAW_ROW_CLASSES = (32, 40, 48, 64, 96, 128)
 
 
 @functools.partial(
@@ -866,6 +876,241 @@ def _warp_call_yaw(src_rows, view_f32, *, width, height, true_w, true_h,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(view_f32, src_rows)
+
+
+# --------------------------------------------------------------------------
+# Yaw v2: host-planned tables + precomputed MXU h-pass matrices
+# --------------------------------------------------------------------------
+
+
+def _yaw_host_tables(yaws: tuple, hfov_deg: float, vfov_deg: float, *,
+                     out_w: int, out_h: int, true_w: int, true_h: int,
+                     src_w: int, src_h: int, win_rows: int, tile_rows: int,
+                     interp: str):
+    """Float64 host twin of the yaw-ring geometry.
+
+    Returns ``(wx, rmcm)``: per-(view, tile-col) one-hot horizontal
+    resample matrices (V·n_tx, WIN_COLS, 128) f32 — ``IH = win @ wx`` on
+    the MXU — and per-tile window origins (n_tiles, 2) i32 [rm, cm].
+
+    Geometry is static across frames, so the matrices that kernel v1
+    rebuilt per tile (dominating its per-tile fixed cost: n_ty tiles share
+    one matrix) are built once per view set here and streamed from HBM via
+    the pipelined wx input.  u is computed with numpy's f64 atan2, i.e.
+    CLOSER to the XLA twin than v1's in-kernel Cephes poly; cm/rm move
+    with it as a single source of truth, so coverage is self-consistent.
+    """
+    n_tx = out_w // TILE_COLS
+    n_ty = out_h // tile_rows
+    nv = len(yaws)
+    tanh = math.tan(math.radians(hfov_deg) / 2.0)
+    tanv = math.tan(math.radians(vfov_deg) / 2.0)
+    wx = np.zeros((nv * n_tx, WIN_COLS, TILE_COLS), np.float32)
+    # (2, n_tiles): scalar-prefetch SMEM pads each ROW to 512B, so the
+    # table must be few-rows-many-cols (the (n_tiles, 2) layout exploded
+    # an 8-view 1080p grid to 2MB against the 1MB SMEM budget)
+    rmcm = np.zeros((2, nv * n_tx * n_ty), np.int32)
+    px = np.arange(out_w, dtype=np.float64)
+    nx = ((2.0 * px + 1.0) / true_w - 1.0) * tanh
+    py = np.arange(out_h, dtype=np.float64)
+    ny = ((2.0 * py + 1.0) / true_h - 1.0) * tanv
+    inv_n = 1.0 / np.sqrt(nx[None, :] ** 2 + ny[:, None] ** 2 + 1.0)
+    v = (np.arcsin(np.clip(ny[:, None] * inv_n, -1.0, 1.0))
+         / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
+    vcl = np.clip(v, 0.0, src_h - 1.0)
+    for vi, yaw in enumerate(yaws):
+        cy = math.cos(math.radians(yaw))
+        sy = math.sin(math.radians(yaw))
+        phi = np.arctan2(cy * nx + sy, cy - sy * nx)
+        u = (phi / math.pi + 1.0) * (src_w / 2.0) - 0.5
+        for tx in range(n_tx):
+            useg = u[tx * TILE_COLS:(tx + 1) * TILE_COLS]
+            u_ctr = useg[TILE_COLS // 2]
+            urel0 = np.mod(useg - u_ctr + src_w / 2.0, src_w) - src_w / 2.0
+            u0 = u_ctr + urel0.min()
+            cm = (int(np.mod(np.floor(u0) - H_MARGIN, src_w)) // 128) * 128
+            urelw = np.mod(useg - cm, float(src_w))
+            x0 = np.floor(urelw)
+            fx = urelw - x0
+            if interp == "bicubic":
+                hw = _lagrange_weights(fx)
+                koff = -1
+            elif interp == "catmull-rom":
+                hw = _catmull_rom_weights(fx)
+                koff = -1
+            else:
+                hw = _linear_weights(fx)
+                koff = 0
+            mat = np.zeros((WIN_COLS, TILE_COLS), np.float64)
+            lanes = np.arange(TILE_COLS)
+            for k, hwk in enumerate(hw):
+                xi = np.clip(x0.astype(np.int64) + (k + koff), 0,
+                             WIN_COLS - 1)
+                np.add.at(mat, (xi, lanes), hwk)
+            wx[vi * n_tx + tx] = mat.astype(np.float32)
+            for ty in range(n_ty):
+                vt = vcl[ty * tile_rows:(ty + 1) * tile_rows,
+                         tx * TILE_COLS:(tx + 1) * TILE_COLS]
+                rm = int(np.floor(vt.min())) - V_MARGIN
+                rm = (max(0, min(rm, src_h - win_rows)) // 8) * 8
+                rmcm[:, (vi * n_tx + tx) * n_ty + ty] = (rm, cm)
+    return wx, rmcm
+
+
+_YAW_DEV_CACHE: dict = {}
+
+
+def _yaw_tables_device(key, *args, **kwargs):
+    """Device-resident (wx, rmcm) cache: geometry is static across frames
+    and the 20-odd-MB wx upload must not recur per frame."""
+    cache_key = (key, jax.default_backend())
+    hit = _YAW_DEV_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    wx, rmcm = _yaw_host_tables(*args, **kwargs)
+    val = (jnp.asarray(wx), jnp.asarray(rmcm))
+    if len(_YAW_DEV_CACHE) > 8:
+        _YAW_DEV_CACHE.clear()
+    _YAW_DEV_CACHE[cache_key] = val
+    return val
+
+
+def _warp_kernel_yaw2(rmcm_ref,          # scalar-prefetch (n_tiles, 2) i32
+                      view_f32_ref,      # (V, 16) f32 SMEM
+                      wx_ref,            # (1, WIN_COLS, 128) VMEM pipelined
+                      src_hbm,           # (3, H8, W'') planar f32 HBM
+                      out_ref,           # (1, 3, tile_rows, 128) VMEM
+                      win_raw,           # scratch (2, 3, R, WIN_COLS)
+                      acc,               # scratch (3, tile_rows, 128)
+                      ihbuf,             # scratch (3, R, 128)
+                      sems,              # DMA semaphores (2,)
+                      *, interp: str, win_rows: int, src_w: int, src_h: int,
+                      geo_w: int, geo_h: int, n_tx: int, n_ty: int,
+                      tile_rows: int):
+    """Yaw-ring warp v2.  All horizontal-resample state is PRECOMPUTED:
+    the one-hot matrix arrives via the pipelined ``wx`` input (fetched
+    once per (view, tile-col), reused across the n_ty tile rows — the
+    grid iterates ty fastest) and window origins via scalar-prefetch, so
+    the in-kernel work is one window DMA, the (tile_rows, 128) vertical
+    trig, 3 MXU matmuls, and the chunked vertical gather."""
+    R = win_rows
+    vtx = pl.program_id(0)
+    ty = pl.program_id(1)
+    t = vtx * n_ty + ty
+    n_t = pl.num_programs(0) * pl.num_programs(1)
+    view_id = vtx // n_tx
+    tx = vtx - view_id * n_tx
+
+    def dma(slot, tt):
+        rm = pl.multiple_of(rmcm_ref[0, tt], 8)
+        cm = pl.multiple_of(rmcm_ref[1, tt], 128)
+        return pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(rm, R), pl.ds(cm, WIN_COLS)],
+            win_raw.at[slot], sems.at[slot])
+
+    slot = t % 2
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        dma((t + 1) % 2, t + 1).start()
+
+    # vertical geometry (yaw-invariant; row band ty, col band tx)
+    tanh = view_f32_ref[view_id, 9]
+    tanv = view_f32_ref[view_id, 10]
+    jj = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_rows, TILE_COLS), 1).astype(jnp.float32)
+    ii = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_rows, TILE_COLS), 0).astype(jnp.float32)
+    px = (tx * TILE_COLS).astype(jnp.float32) + jj
+    py = (ty * tile_rows).astype(jnp.float32) + ii
+    nx = ((2.0 * px + 1.0) / geo_w - 1.0) * tanh
+    ny = ((2.0 * py + 1.0) / geo_h - 1.0) * tanv
+    inv_n = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
+    theta = _asin(jnp.clip(ny * inv_n, -1.0, 1.0))
+    v = (theta / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
+    vcl = jnp.clip(v, 0.0, src_h - 1.0)
+    rm_t = rmcm_ref[0, t]
+    vrel = jnp.clip(vcl - rm_t.astype(jnp.float32), 0.0, R - 1.0)
+
+    y0 = jnp.floor(vrel).astype(jnp.int32)
+    fy = vrel - jnp.floor(vrel)
+    if interp in ("bicubic", "catmull-rom"):
+        vw = (_lagrange_weights(fy) if interp == "bicubic"
+              else _catmull_rom_weights(fy))
+        koff = -1
+    else:
+        vw = _linear_weights(fy)
+        koff = 0
+
+    dma(slot, t).wait()
+
+    # horizontal pass on the MXU with the precomputed one-hot matrix.
+    # HIGHEST forces the full f32 product: the one-hot weights and u8-
+    # derived window values lose real precision through DEFAULT's bf16
+    # demotion (~1e-3 — visible against the XLA twin's f32 math).
+    for c in range(3):
+        ihbuf[c] = jnp.dot(win_raw[slot, c], wx_ref[0],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+    if STOP_AFTER == "hpass":
+        for c in range(3):
+            acc[c] = ihbuf[c, 0:tile_rows, :]
+    else:
+        _yaw_vpass(ihbuf, vrel, y0, vw, acc, R=R, n_taps=len(vw),
+                   koff=koff, tile_rows=tile_rows)
+
+    for c in range(3):
+        out_ref[0, c, :, :] = acc[c]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "true_w", "true_h", "src_w",
+                     "src_h", "interp", "win_rows", "n_views", "interpret"))
+def _warp_call_yaw2(src_rows, view_f32, wx, rmcm, *, width, height, true_w,
+                    true_h, src_w, src_h, interp, win_rows, n_views,
+                    interpret=False):
+    tile_rows = YAW_TILE_ROWS
+    n_tx = width // TILE_COLS
+    n_ty = height // tile_rows
+
+    kernel = functools.partial(
+        _warp_kernel_yaw2, interp=interp, win_rows=win_rows, src_w=src_w,
+        src_h=src_h, geo_w=true_w, geo_h=true_h, n_tx=n_tx, n_ty=n_ty,
+        tile_rows=tile_rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_views * n_tx, n_ty),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # view_f32
+            pl.BlockSpec((1, WIN_COLS, TILE_COLS),     # wx: per (view, tx)
+                         lambda vtx, ty, rmcm: (vtx, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),         # src stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, tile_rows, TILE_COLS),
+            lambda vtx, ty, rmcm: (vtx // n_tx, 0, ty, vtx % n_tx)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, win_rows, WIN_COLS), jnp.float32),
+            pltpu.VMEM((3, tile_rows, TILE_COLS), jnp.float32),
+            pltpu.VMEM((3, win_rows, TILE_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_views, 3, height, width),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(rmcm, view_f32, wx, src_rows)
 
 
 def _warp_kernel_wide(view_f32_ref, src_hbm, out_ref, win_raw, acc,
@@ -1066,6 +1311,485 @@ def plan_view_wide(width: int, height: int, hfov_deg: float,
 
 
 # --------------------------------------------------------------------------
+# Wide v2: per-(tile, block) windows fetched in rounds, host-planned tables
+# --------------------------------------------------------------------------
+
+WIDE2_BPR = 4                       # column-blocks per DMA round
+WIDE2_ROW_CLASSES = (48, 96, 152, 240)
+
+
+@functools.lru_cache(maxsize=1024)
+def _wide2_plan_view(width: int, height: int, hfov_deg: float,
+                     vfov_deg: float, yaw_deg: float, pitch_deg: float,
+                     roll_deg: float, src_w: int, src_h: int,
+                     true_w: int, true_h: int, projection: str):
+    """Exact (stride-1, f64) per-tile window plan for the wide-v2 kernel.
+
+    Returns ``(win_rows, max_rounds, tab)`` or ``None`` when some block's
+    vertical span exceeds every row class.  ``tab`` is (n_tiles_view,
+    3 + WIDE2_BPR) i32: [b0, nblk, anchor, rm of blocks 0..3].
+
+    Per-tile ANCHORED seam unwrap: tile columns live in
+    ``anchor + [-src_w/2, src_w/2)`` where ``anchor`` is the circular
+    mean of the tile's valid-pixel u values (shifted +src_w when the
+    range would go negative), so seam-straddling tiles get a tight
+    contiguous block range instead of spanning the whole width.  Tiles
+    whose true sweep is too wide for the right-side wrap pad (pole caps
+    see every longitude) fall back to ``anchor = src_w/2 + 4`` — the
+    plain [4, src_w+4) wrap.  Fisheye image-circle pixels outside r<=1
+    are EXCLUDED from planning (they are masked at output); the kernel's
+    in-kernel row-origin rule masks them identically.
+    """
+    if width % TILE_COLS or height % TILE_ROWS:
+        return None
+    rot = _rot_matrix(yaw_deg, pitch_deg, roll_deg)
+    u, v = _np_view_coords_strided(width, height, hfov_deg, vfov_deg, rot,
+                                   src_w, src_h, stride=1, true_w=true_w,
+                                   true_h=true_h, projection=projection)
+    w = float(src_w)
+    u = np.mod(u, w)
+    vcl = np.clip(v, 0.0, src_h - 1.0)
+    if projection == "perspective":
+        valid = np.ones_like(u, dtype=bool)
+    else:
+        xs = (2.0 * np.arange(width) + 1.0) / true_w - 1.0
+        ys = (2.0 * np.arange(height) + 1.0) / true_h - 1.0
+        nxg, nyg = np.meshgrid(xs, ys)
+        valid = np.hypot(nxg, nyg) <= 1.0
+    pad_w = _planar_width(src_w)
+    n_ty, n_tx = height // TILE_ROWS, width // TILE_COLS
+    uc = u.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
+    vc = vcl.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
+    vm4 = valid.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
+    tab = np.zeros((n_ty * n_tx, 3 + WIDE2_BPR), np.int32)
+    span_max = 0.0
+    nblk_max = 1
+    plain_anchor = src_w // 2 + 4
+
+    for ty in range(n_ty):
+        for tx in range(n_tx):
+            ut = uc[ty, :, tx, :]
+            vt = vc[ty, :, tx, :]
+            mt = vm4[ty, :, tx, :]
+            if not mt.any():
+                tab[ty * n_tx + tx] = [0, 0, plain_anchor] + [0] * WIDE2_BPR
+                continue
+            ang = ut[mt] * (2.0 * math.pi / w)
+            anchor = math.atan2(np.sin(ang).mean(),
+                                np.cos(ang).mean()) * w / (2.0 * math.pi)
+            anchor = float(np.mod(anchor, w))
+            for try_anchor in (anchor, float(plain_anchor)):
+                ua = try_anchor + np.mod(ut - try_anchor + w / 2.0, w) \
+                    - w / 2.0
+                uam = ua[mt]
+                lo = int(np.floor(uam.min())) - 2   # taps -1 .. +2, +-1 f32
+                hi = int(np.floor(uam.max())) + 3
+                if lo < 0:
+                    try_anchor += w
+                    ua = ua + w
+                    lo += src_w
+                    hi += src_w
+                if hi < pad_w - 1:
+                    break
+            else:
+                return None
+            b0 = lo // 128
+            nblk = hi // 128 - b0 + 1
+            nblk_max = max(nblk_max, nblk)
+            x0 = np.floor(ua).astype(np.int64)
+            rms = []
+            for b in range(nblk):
+                bcol = (b0 + b) * 128
+                m = mt & (x0 + 3 >= bcol) & (x0 - 2 < bcol + 128)
+                if not m.any():
+                    rms.append(0)
+                    continue
+                vb = vt[m]
+                span_max = max(span_max, float(vb.max() - vb.min()))
+                rms.append(int(np.floor(vb.min())) - V_MARGIN)
+            row = [b0, nblk, int(round(try_anchor))] \
+                + [(max(0, r) // 8) * 8 for r in rms[:WIDE2_BPR]]
+            row += [0] * (3 + WIDE2_BPR - len(row))
+            tab[ty * n_tx + tx] = row
+    need = span_max + 2 * V_MARGIN
+    win_rows = None
+    for r in WIDE2_ROW_CLASSES:
+        if r > src_h:
+            continue
+        if need <= r - 9:
+            win_rows = r
+            break
+    if win_rows is None:
+        return None
+    # rm upper clip depends on the class; applied here AND in-kernel
+    tab[:, 3:] = np.minimum(tab[:, 3:], ((src_h - win_rows) // 8) * 8)
+    max_rounds = -(-nblk_max // WIDE2_BPR)
+    return win_rows, max_rounds, tab
+
+
+_WIDE2_DEV_CACHE: dict = {}
+
+
+def _wide2_tables_device(key, tabs: List[np.ndarray]):
+    cache_key = (key, jax.default_backend())
+    hit = _WIDE2_DEV_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    # transposed (2+BPR, n_tiles): scalar-prefetch SMEM pads per ROW
+    val = jnp.asarray(np.concatenate(tabs, axis=0).T.copy())
+    if len(_WIDE2_DEV_CACHE) > 16:
+        _WIDE2_DEV_CACHE.clear()
+    _WIDE2_DEV_CACHE[cache_key] = val
+    return val
+
+
+def _resample_tile_block(win_raw, slot, bi, bcol_local, x0g, hwg, y0, vw,
+                         vcl, rm_b, acc, *, R: int, n_taps: int, koff: int):
+    """Accumulate one column-block's contribution to the output tile.
+
+    ``x0g``/``hwg``: per-group hoisted (64,128) tap columns / weights
+    (absolute padded columns); ``bcol_local`` the block's absolute base
+    column; ``y0``/``vw``/``vcl``: (TILE_ROWS,128) vertical tap state in
+    ABSOLUTE source rows; ``rm_b`` this block's window-row origin.  The
+    inner loop mirrors ``_resample_tile_planar``'s proven (chunk, ch,
+    tap) structure, restricted to one 128-col block with its own row
+    origin — the per-(tile, block) window is what keeps the v-state and
+    the chunk trip count local."""
+    GROUP = 8
+    n_groups = TILE_ROWS // GROUP
+    rm_f = rm_b.astype(jnp.float32)
+    for gi in range(n_groups):
+        rows = slice(gi * GROUP, (gi + 1) * GROUP)
+        # hoisted per (group, tap): in-block lane indices + masked weights
+        relb = []
+        wfb = []
+        inblk_any = None
+        for k in range(n_taps):
+            xi = x0g[gi] + (k + koff)
+            inb = (xi >= bcol_local) & (xi < bcol_local + TILE_COLS)
+            relb.append(jnp.clip(xi - bcol_local, 0, TILE_COLS - 1))
+            wfb.append(jnp.where(inb, hwg[gi][k], 0.0))
+            inblk_any = inb if inblk_any is None else (inblk_any | inb)
+        # masked vertical span of this (group, block) -> chunk range
+        vg = jnp.concatenate(
+            [jnp.broadcast_to(vcl[i:i + 1, :], (8, TILE_COLS))
+             for i in range(gi * GROUP, (gi + 1) * GROUP)], axis=0)
+        vmin = jnp.min(jnp.where(inblk_any, vg, jnp.inf)) - rm_f
+        vmax = jnp.max(jnp.where(inblk_any, vg, -jnp.inf)) - rm_f
+        any_hit = vmax >= vmin
+        lo = jnp.floor(vmin).astype(jnp.int32) - 1
+        hi = jnp.floor(vmax).astype(jnp.int32) + 2
+        tg_lo = jnp.clip(lo // 8, 0, R // 8 - 1)
+        tg_hi = jnp.where(any_hit, jnp.clip(hi // 8 + 1, 1, R // 8),
+                          tg_lo)
+        ym = [[jnp.clip(y0[i:i + 1, :] + (m + koff) - rm_b, 0, R - 1)
+               for m in range(n_taps)]
+              for i in range(gi * GROUP, (gi + 1) * GROUP)]
+        vwr = [[vw[m][i:i + 1, :] for m in range(n_taps)]
+               for i in range(gi * GROUP, (gi + 1) * GROUP)]
+
+        def chunk_body(tchunk, accs, gi=gi, relb=relb, wfb=wfb, ym=ym,
+                       vwr=vwr):
+            r0 = pl.multiple_of(tchunk * 8, 8)
+            ry = [[jnp.broadcast_to(jnp.clip(ym[r][m] - r0, 0, 7),
+                                    (8, TILE_COLS)) for m in range(n_taps)]
+                  for r in range(GROUP)]
+            wv = [[jnp.where((ym[r][m] // 8) == tchunk, vwr[r][m], 0.0)
+                   for m in range(n_taps)] for r in range(GROUP)]
+            out = []
+            for c in range(3):
+                blk = win_raw[slot, c, pl.ds(r0, 8),
+                              bi * TILE_COLS:(bi + 1) * TILE_COLS]
+                rep = jnp.concatenate([blk] * GROUP, axis=0)
+                ih = None
+                for k in range(n_taps):
+                    term = jnp.take_along_axis(rep, relb[k], axis=1) \
+                        * wfb[k]
+                    ih = term if ih is None else ih + term
+                adds = []
+                for r in range(GROUP):
+                    ih_r = ih[r * 8:(r + 1) * 8, :]
+                    add = None
+                    for m in range(n_taps):
+                        gv = jnp.take_along_axis(
+                            ih_r, ry[r][m], axis=0)[0:1, :]
+                        term = gv * wv[r][m]
+                        add = term if add is None else add + term
+                    adds.append(add)
+                out.append(accs[c] + jnp.concatenate(adds, axis=0))
+            return tuple(out)
+
+        init = tuple(acc[c, rows, :] for c in range(3))
+        vals = jax.lax.fori_loop(tg_lo, tg_hi, chunk_body, init)
+        for c in range(3):
+            acc[c, rows, :] = vals[c]
+
+
+def _warp_kernel_wide2(tab_ref,          # scalar-prefetch (2+BPR, n_tiles)
+                       view_f32_ref,     # (V, 16) f32 SMEM
+                       src_hbm,          # (3, H8, W'') planar f32 HBM
+                       out_ref,          # (1, 3, TILE_ROWS, 128)
+                       win_raw,          # scratch (3, 3, R, BPR*128)
+                       acc,              # scratch (3, TILE_ROWS, 128)
+                       sems,             # DMA semaphores (3, BPR)
+                       *, interp: str, win_rows: int, src_w: int,
+                       src_h: int, geo_w: int, geo_h: int, n_tiles_x: int,
+                       tiles_per_view: int, projection: str):
+    """Wide-window warp v2.  Replaces v1's single full-width window with
+    per-(tile, block) windows fetched WIDE2_BPR blocks per round:
+    p50 tiles touch 2-4 of the ~66 source blocks, so v1 paid ~20x the
+    window DMA and iterated chunk ranges sized by the TILE's vertical
+    span; here both the DMA and the chunk trips are per-block.  Round 0
+    (the only round for most tiles) is double-buffered ACROSS tiles via
+    the host-planned scalar-prefetch table; overflow rounds (fisheye
+    rim tiles: u sweeps many blocks) run in a fori_loop with in-kernel
+    row origins, single-buffered in a dedicated slot."""
+    R = win_rows
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    def tile_tab(tt):
+        return tab_ref[0, tt], tab_ref[1, tt]     # b0, nblk
+
+    b0_t, nblk_t = tile_tab(t)
+    rounds_t = (nblk_t + WIDE2_BPR - 1) // WIDE2_BPR
+
+    def dma_r0(slot, tt, bi):
+        b0n, _ = tile_tab(tt)
+        rm = pl.multiple_of(tab_ref[3 + bi, tt], 8)
+        bcol = pl.multiple_of((b0n + bi) * 128, 128)
+        return pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(rm, R), pl.ds(bcol, 128)],
+            win_raw.at[slot, :, :, pl.ds(bi * 128, 128)],
+            sems.at[slot, bi])
+
+    def start_r0(slot, tt):
+        _, nblk_n = tile_tab(tt)
+        for bi in range(WIDE2_BPR):
+            @pl.when(bi < nblk_n)
+            def _(bi=bi):
+                dma_r0(slot, tt, bi).start()
+
+    slot0 = t % 2
+
+    @pl.when(t == 0)
+    def _():
+        start_r0(0, 0)
+
+    # ---- geometry (same ray math as wide v1) ----
+    view_id = t // tiles_per_view
+    within = t - view_id * tiles_per_view
+    ty = within // n_tiles_x
+    tx = within - ty * n_tiles_x
+    r00 = view_f32_ref[view_id, 0]
+    r01 = view_f32_ref[view_id, 1]
+    r02 = view_f32_ref[view_id, 2]
+    r10 = view_f32_ref[view_id, 3]
+    r11 = view_f32_ref[view_id, 4]
+    r12 = view_f32_ref[view_id, 5]
+    r20 = view_f32_ref[view_id, 6]
+    r21 = view_f32_ref[view_id, 7]
+    r22 = view_f32_ref[view_id, 8]
+    tanh = view_f32_ref[view_id, 9]
+    tanv = view_f32_ref[view_id, 10]
+
+    jj = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_ROWS, TILE_COLS), 1).astype(jnp.float32)
+    ii = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_ROWS, TILE_COLS), 0).astype(jnp.float32)
+    px = (tx * TILE_COLS).astype(jnp.float32) + jj
+    py = (ty * TILE_ROWS).astype(jnp.float32) + ii
+    nx = (2.0 * px + 1.0) / geo_w - 1.0
+    ny = (2.0 * py + 1.0) / geo_h - 1.0
+    if projection == "perspective":
+        nx = nx * tanh
+        ny = ny * tanv
+        inv_n = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
+        dx = nx * inv_n
+        dy = ny * inv_n
+        dz = inv_n
+        valid = None
+    else:
+        r = jnp.sqrt(nx * nx + ny * ny)
+        if projection == "fisheye_v360":
+            theta_f = r * tanh
+        else:
+            theta_f = 2.0 * _asin(jnp.clip(r * tanv, -1.0, 1.0))
+        valid = r <= 1.0
+        theta_f = jnp.clip(theta_f, 0.0, math.pi)
+        sin_t, cos_t = _sincos_0_pi(theta_f)
+        safe_r = jnp.where(r > 1e-12, r, 1.0)
+        dx = sin_t * (nx / safe_r)
+        dy = sin_t * (ny / safe_r)
+        dz = cos_t
+    wx = r00 * dx + r01 * dy + r02 * dz
+    wy = r10 * dx + r11 * dy + r12 * dz
+    wz = r20 * dx + r21 * dy + r22 * dz
+    phi = _atan2(wx, wz)
+    theta = _asin(jnp.clip(wy, -1.0, 1.0))
+    u = (phi / math.pi + 1.0) * (src_w / 2.0) - 0.5
+    v = (theta / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
+    # per-tile anchored seam unwrap (see _wide2_plan_view): columns land
+    # in anchor + [-src_w/2, src_w/2), matching the host-planned blocks
+    anc = tab_ref[2, t].astype(jnp.float32)
+    u = anc + jnp.mod(u - anc + 0.5 * src_w, float(src_w)) - 0.5 * src_w
+    vcl = jnp.clip(v, 0.0, src_h - 1.0)
+
+    x0 = jnp.floor(u).astype(jnp.int32)
+    fx = u - jnp.floor(u)
+    y0 = jnp.floor(vcl).astype(jnp.int32)
+    fy = vcl - jnp.floor(vcl)
+    if interp in ("bicubic", "catmull-rom"):
+        hw = (_lagrange_weights(fx) if interp == "bicubic"
+              else _catmull_rom_weights(fx))
+        vw = (_lagrange_weights(fy) if interp == "bicubic"
+              else _catmull_rom_weights(fy))
+        koff = -1
+    else:
+        hw = _linear_weights(fx)
+        vw = _linear_weights(fy)
+        koff = 0
+    n_taps = len(hw)
+
+    # per-group hoisted absolute tap columns / weights
+    GROUP = 8
+    n_groups = TILE_ROWS // GROUP
+
+    def stack8(a, i0):
+        return jnp.concatenate(
+            [jnp.broadcast_to(a[i:i + 1, :], (8, TILE_COLS))
+             for i in range(i0, i0 + GROUP)], axis=0)
+
+    x0g = [stack8(x0, gi * GROUP) for gi in range(n_groups)]
+    hwg = [[stack8(hw[k], gi * GROUP) for k in range(n_taps)]
+           for gi in range(n_groups)]
+
+    def rm_inkernel(b_global):
+        """Masked-min row origin — the same valid-masked rule the planner
+        validated (fisheye out-of-circle pixels must not drag the window
+        away from in-circle rows)."""
+        bcol = b_global * 128
+        inb = (x0 + 3 >= bcol) & (x0 - 2 < bcol + TILE_COLS)
+        if valid is not None:
+            inb = inb & valid
+        vmin = jnp.min(jnp.where(inb, vcl, jnp.inf))
+        has = jnp.isfinite(vmin)
+        rm = jnp.floor(jnp.where(has, vmin, 0.0)).astype(jnp.int32) \
+            - V_MARGIN
+        return (jnp.clip(rm, 0, src_h - R) // 8) * 8
+
+    for c in range(3):
+        acc[c] = jnp.zeros((TILE_ROWS, TILE_COLS), jnp.float32)
+
+    # ---- round 0 (double-buffered across tiles) ----
+    for bi in range(WIDE2_BPR):
+        @pl.when(bi < nblk_t)
+        def _(bi=bi):
+            dma_r0(slot0, t, bi).wait()
+            rm_b = pl.multiple_of(tab_ref[3 + bi, t], 8)
+            _resample_tile_block(
+                win_raw, slot0, bi, (b0_t + bi) * 128, x0g, hwg, y0, vw,
+                vcl, rm_b, acc, R=R, n_taps=n_taps, koff=koff)
+
+    # prefetch the next tile's round 0 while this tile is single-round
+    # (rounds_t == 0 happens on fully-invalid tiles, e.g. fisheye
+    # corners: they fetch nothing themselves but MUST still start the
+    # successor's round 0 or the successor deadlocks on its semaphores)
+    @pl.when((rounds_t <= 1) & (t + 1 < n_t))
+    def _():
+        start_r0((t + 1) % 2, t + 1)
+
+    # ---- overflow rounds (rare: fisheye rim tiles) ----
+    def round_body(rr, _):
+        rms = []
+        for bi in range(WIDE2_BPR):
+            b = rr * WIDE2_BPR + bi
+            rm_b = rm_inkernel(b0_t + b)
+            rms.append(rm_b)
+
+            @pl.when(b < nblk_t)
+            def _(bi=bi, rm_b=rm_b, b=b):
+                cp = pltpu.make_async_copy(
+                    src_hbm.at[:, pl.ds(rm_b, R),
+                               pl.ds(pl.multiple_of((b0_t + b) * 128, 128),
+                                     128)],
+                    win_raw.at[2, :, :, pl.ds(bi * 128, 128)],
+                    sems.at[2, bi])
+                cp.start()
+                cp.wait()
+        for bi in range(WIDE2_BPR):
+            b = rr * WIDE2_BPR + bi
+
+            @pl.when(b < nblk_t)
+            def _(bi=bi, b=b, rm_b=rms[bi]):
+                _resample_tile_block(
+                    win_raw, 2, bi, (b0_t + b) * 128, x0g, hwg, y0, vw,
+                    vcl, rm_b, acc, R=R, n_taps=n_taps, koff=koff)
+        return 0
+
+    jax.lax.fori_loop(1, rounds_t, round_body, 0)
+
+    @pl.when((rounds_t > 1) & (t + 1 < n_t))
+    def _():
+        start_r0((t + 1) % 2, t + 1)
+
+    if valid is None:
+        for c in range(3):
+            out_ref[0, c, :, :] = acc[c]
+    else:
+        vf = valid.astype(jnp.float32)
+        for c in range(3):
+            out_ref[0, c, :, :] = acc[c] * vf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "true_w", "true_h", "src_w",
+                     "src_h", "interp", "win_rows", "n_views",
+                     "projection", "interpret"))
+def _warp_call_wide2(src_rows, view_f32, tab, *, width, height, true_w,
+                     true_h, src_w, src_h, interp, win_rows, n_views,
+                     projection="perspective", interpret=False):
+    n_tiles_x = width // TILE_COLS
+    tiles_per_view = (height // TILE_ROWS) * n_tiles_x
+    n_tiles = tiles_per_view * n_views
+
+    kernel = functools.partial(
+        _warp_kernel_wide2, interp=interp, win_rows=win_rows, src_w=src_w,
+        src_h=src_h, geo_w=true_w, geo_h=true_h, n_tiles_x=n_tiles_x,
+        tiles_per_view=tiles_per_view, projection=projection)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # view_f32
+            pl.BlockSpec(memory_space=pl.ANY),       # src stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, TILE_ROWS, TILE_COLS),
+            lambda t, tab: (t // tiles_per_view,
+                            0,
+                            (t % tiles_per_view) // n_tiles_x,
+                            (t % tiles_per_view) % n_tiles_x)),
+        scratch_shapes=[
+            pltpu.VMEM((3, 3, win_rows, WIDE2_BPR * TILE_COLS),
+                       jnp.float32),
+            pltpu.VMEM((3, TILE_ROWS, TILE_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, WIDE2_BPR)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_views, 3, height, width),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(tab, view_f32, src_rows)
+
+
+# --------------------------------------------------------------------------
 # Public entry
 # --------------------------------------------------------------------------
 
@@ -1156,12 +1880,13 @@ def _warp_call(src_rows, view_f32, *, width, height, true_w, true_h,
     )(view_f32, src_rows)
 
 
-def _planar_width(src_w: int) -> int:
+def _planar_width(src_w: int, max_win_cols: int = TILT_WIN_COLS) -> int:
     """Padded planar source width: seam wrap + 384-lane alignment.
 
-    The wrap pad must cover the WIDEST narrow window class (a window
-    whose 128-aligned origin sits at src_w-128 reads cm+win_cols)."""
-    w = src_w + TILT_WIN_COLS + 128
+    The wrap pad must cover the WIDEST window class present (a window
+    whose 128-aligned origin sits at src_w-128 reads cm+win_cols); pure
+    yaw/narrow view sets pass 384 and skip ~3% of planarize work."""
+    w = src_w + max_win_cols + 128
     return w + (-w) % 384
 
 
@@ -1225,8 +1950,9 @@ def _planarize_rows(padded, scale=1.0, interpret=False):
     )(padded)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _planar_source(src_rows, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "max_win_cols"))
+def _planar_source(src_rows, interpret=False,
+                   max_win_cols: int = TILT_WIN_COLS):
     """(H, W·3) interleaved rows → seam-padded planar (3, H8, W'') f32.
 
     W'' = W + WIN_COLS rounded up to a 384-lane multiple (wrap-padded —
@@ -1247,7 +1973,7 @@ def _planar_source(src_rows, interpret=False):
     else:
         scale = 1.0
         src_rows = src_rows.astype(jnp.float32)
-    target_w = _planar_width(w)
+    target_w = _planar_width(w, max_win_cols)
     pad = target_w - w
     reps = -(-pad // w)
     padded = jnp.concatenate([src_rows] * (1 + reps),
@@ -1373,19 +2099,35 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     # each class runs on its own tile grid (yaw tiles are 32 rows), so
     # every part is cropped to the true view size before concatenation
     parts = []
-    planar_src = _planar_source(src_rows, interpret=interpret)
+    if wide_budgets:
+        pad_cols = TILT_WIN_COLS          # wide kernels span _planar_width
+    elif tilt_budgets:
+        pad_cols = TILT_WIN_COLS
+    else:
+        pad_cols = WIN_COLS
+    planar_src = _planar_source(src_rows, interpret=interpret,
+                                max_win_cols=pad_cols)
 
     def crop(arr):
         return arr[:, :, :height, :width] \
             if arr.shape[2:] != (height, width) else arr
 
     if yaw_budgets:
-        parts.append(crop(_warp_call_yaw(
-            planar_src, view_table(yaw_budgets),
+        win_rows_yaw = max(b.win_rows for b in yaw_budgets)
+        yaw_yaws = tuple(float(yaws[i]) for i in yaw_idx)
+        tkey = ("yawv2", yaw_yaws, float(hfov_deg), float(vfov_deg),
+                out_w, out_h_yaw, width, height, src_w, src_h,
+                win_rows_yaw, interp)
+        wx_tab, rmcm_tab = _yaw_tables_device(
+            tkey, yaw_yaws, hfov_deg, vfov_deg, out_w=out_w,
+            out_h=out_h_yaw, true_w=width, true_h=height, src_w=src_w,
+            src_h=src_h, win_rows=win_rows_yaw, tile_rows=YAW_TILE_ROWS,
+            interp=interp)
+        parts.append(crop(_warp_call_yaw2(
+            planar_src, view_table(yaw_budgets), wx_tab, rmcm_tab,
             width=out_w, height=out_h_yaw, true_w=width, true_h=height,
             src_w=src_w, src_h=src_h,
-            interp=interp,
-            win_rows=max(b.win_rows for b in yaw_budgets),
+            interp=interp, win_rows=win_rows_yaw,
             n_views=len(yaw_budgets), interpret=interpret)))
     if narrow_budgets:
         parts.append(crop(_warp_call(
@@ -1405,14 +2147,37 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
             n_views=len(tilt_budgets), win_cols=TILT_WIN_COLS,
             interpret=interpret)))
     if wide_budgets:
-        parts.append(crop(_warp_call_wide(
-            planar_src, view_table(wide_budgets),
-            width=out_w, height=out_h, true_w=width, true_h=height,
-            src_w=src_w, src_h=src_h,
-            interp=interp,
-            win_rows=max(b.win_rows for b in wide_budgets),
-            n_views=len(wide_budgets), projection=projection,
-            interpret=interpret)))
+        # wide v2 (per-tile-block windows) when every view's plan fits;
+        # v1 full-width windows as the conservative fallback
+        w2_plans = []
+        for i in wide_idx:
+            w2_plans.append(_wide2_plan_view(
+                out_w, out_h, float(hfov_deg), float(vfov_deg),
+                float(yaws[i]), float(pitches[i]), float(rolls[i]),
+                src_w, src_h, width, height, projection))
+        if all(p is not None for p in w2_plans):
+            win_rows_w2 = max(p[0] for p in w2_plans)
+            tkey = ("widev2",
+                    tuple((float(yaws[i]), float(pitches[i]),
+                           float(rolls[i])) for i in wide_idx),
+                    float(hfov_deg), float(vfov_deg), out_w, out_h,
+                    width, height, src_w, src_h, projection)
+            tab = _wide2_tables_device(tkey, [p[2] for p in w2_plans])
+            parts.append(crop(_warp_call_wide2(
+                planar_src, view_table(wide_budgets), tab,
+                width=out_w, height=out_h, true_w=width, true_h=height,
+                src_w=src_w, src_h=src_h, interp=interp,
+                win_rows=win_rows_w2, n_views=len(wide_budgets),
+                projection=projection, interpret=interpret)))
+        else:
+            parts.append(crop(_warp_call_wide(
+                planar_src, view_table(wide_budgets),
+                width=out_w, height=out_h, true_w=width, true_h=height,
+                src_w=src_w, src_h=src_h,
+                interp=interp,
+                win_rows=max(b.win_rows for b in wide_budgets),
+                n_views=len(wide_budgets), projection=projection,
+                interpret=interpret)))
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     order = yaw_idx + narrow_idx + tilt_idx + wide_idx
     if order != sorted(order):

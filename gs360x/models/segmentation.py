@@ -207,8 +207,13 @@ class SegmentationPredictor:
                mask_thresh: float = MASK_THRESH,
                max_detections: int = DETECTIONS_PER_IMG) -> List[dict]:
         """Instance list [{'mask' (H,W) bool, 'score', 'class_name'}],
-        score-sorted, capped at max_detections."""
-        from gs360x.kernels.morphology import connected_components
+        score-sorted, capped at max_detections.
+
+        Touching subjects are split by distance-transform watershed
+        (:mod:`gs360x.models.instances`), recovering the per-detection
+        granularity of the reference's Mask R-CNN output
+        (gs360_SegmentationMaskTool.py:334-356)."""
+        from gs360x.models.instances import instance_masks
 
         probs = self.class_probabilities(rgb01)
         detections = []
@@ -220,13 +225,11 @@ class SegmentationPredictor:
             binary = p >= mask_thresh
             if not binary.any():
                 continue
-            labels, count = connected_components(binary)
-            for inst in range(1, count + 1):
-                m = labels == inst
-                score = float(p[m].mean())
-                if score >= score_thresh:
-                    detections.append({"mask": m, "score": score,
-                                       "class_name": name})
+            for det in instance_masks(binary, p,
+                                      score_thresh=score_thresh,
+                                      max_count=max_detections):
+                det["class_name"] = name
+                detections.append(det)
         detections.sort(key=lambda d: -d["score"])
         return detections[:max_detections]
 

@@ -22,7 +22,7 @@ import numpy as np
 
 from gs360x.models.segmentation import CLASS_TO_INDEX
 
-DEFAULT_CHECKPOINT_VERSION = "seg_default_v1"
+DEFAULT_CHECKPOINT_VERSION = "seg_default_v2"  # v2: photo-style corpus
 
 
 def default_checkpoint_path() -> pathlib.Path:
@@ -135,37 +135,134 @@ _CLASS_BASE = {
 }
 
 
+def _fractal_texture(rng, h, w, base, amp=0.22, octaves=4):
+    """Multi-octave value noise — closer to photographic texture
+    statistics than the single-band sin fields of :func:`_texture`."""
+    acc = np.zeros((h, w), np.float64)
+    norm = 0.0
+    for o in range(octaves):
+        gh = max(2, (h >> (octaves - 1 - o)) or 2)
+        gw = max(2, (w >> (octaves - 1 - o)) or 2)
+        g = rng.standard_normal((gh, gw))
+        ys = np.linspace(0, gh - 1, h)
+        xs = np.linspace(0, gw - 1, w)
+        y0 = np.clip(ys.astype(int), 0, gh - 2)
+        x0 = np.clip(xs.astype(int), 0, gw - 2)
+        fy = (ys - y0)[:, None]
+        fx = (xs - x0)[None, :]
+        gi = (g[y0][:, x0] * (1 - fy) * (1 - fx)
+              + g[y0 + 1][:, x0] * fy * (1 - fx)
+              + g[y0][:, x0 + 1] * (1 - fy) * fx
+              + g[y0 + 1][:, x0 + 1] * fy * fx)
+        wgt = 0.5 ** (octaves - 1 - o)
+        acc += wgt * gi
+        norm += wgt
+    acc /= norm
+    out = np.empty((h, w, 3), np.float32)
+    for c in range(3):
+        out[..., c] = np.clip(
+            base[c] + amp * acc + 0.03 * rng.standard_normal((h, w)), 0, 1)
+    return out
+
+
+def _shade(rng, img, m):
+    """Directional lighting across a subject (photographic-style cue)."""
+    ys, xs = np.nonzero(m)
+    if len(ys) == 0:
+        return
+    ang = rng.uniform(0, 2 * math.pi)
+    proj = (np.cos(ang) * (xs - xs.mean()) + np.sin(ang) * (ys - ys.mean()))
+    ext = max(float(np.abs(proj).max()), 1.0)
+    shade = 1.0 + rng.uniform(0.15, 0.4) * (proj / ext)
+    img[ys, xs] = np.clip(img[ys, xs] * shade[:, None], 0, 1)
+
+
 def generate_scene(rng: np.random.Generator, size: int = 128,
-                   max_subjects: int = 3):
-    """One synthetic scene: (image f32 (S,S,3), labels int32 (S,S))."""
+                   max_subjects: int = 3, photo_style: bool = False):
+    """One synthetic scene: (image f32 (S,S,3), labels int32 (S,S)).
+
+    ``photo_style=True`` renders with photographic statistics — fractal
+    textures, directional subject shading, contact shadows, clutter
+    distractors, vignette, sensor noise — and allows ADJACENT same-class
+    subjects (the instance-separation case). The held-out capability
+    fixtures use this mode so the IoU gate measures generalisation
+    beyond the training corpus' flat-texture look."""
     h = w = size
-    sky = _texture(rng, h, w, rng.uniform(0.4, 0.8, 3), amp=0.1, freq=2)
-    ground = _texture(rng, h, w, rng.uniform(0.2, 0.55, 3), amp=0.2, freq=8)
+    if photo_style:
+        sky = _fractal_texture(rng, h, w, rng.uniform(0.45, 0.85, 3),
+                               amp=0.12)
+        ground = _fractal_texture(rng, h, w, rng.uniform(0.2, 0.5, 3),
+                                  amp=0.25)
+    else:
+        sky = _texture(rng, h, w, rng.uniform(0.4, 0.8, 3), amp=0.1,
+                       freq=2)
+        ground = _texture(rng, h, w, rng.uniform(0.2, 0.55, 3), amp=0.2,
+                          freq=8)
     horizon = int(rng.uniform(0.3, 0.6) * h)
     img = sky.copy()
     img[horizon:] = ground[horizon:]
     labels = np.zeros((h, w), np.int32)
 
+    # clutter distractors: background-labelled shapes the net must ignore
+    if photo_style:
+        for _ in range(rng.integers(0, 4)):
+            cy = rng.uniform(0.55, 0.9) * h
+            cx = rng.uniform(0.05, 0.95) * w
+            rr = rng.uniform(0.03, 0.1) * h
+            mc = _ellipse_mask(h, w, cy, cx, rr,
+                               rr * rng.uniform(0.7, 1.8),
+                               angle=rng.uniform(0, math.pi))
+            tex = _fractal_texture(rng, h, w, rng.uniform(0.25, 0.7, 3),
+                                   amp=0.15)
+            img[mc] = tex[mc]
+
     names = list(_CLASS_DRAWERS)
-    for _ in range(rng.integers(1, max_subjects + 1)):
+    n_subj = int(rng.integers(1, max_subjects + 1))
+    for si in range(n_subj):
         name = names[rng.integers(len(names))]
         m = _CLASS_DRAWERS[name](rng, h, w)
+        if photo_style and name == "person" and rng.random() < 0.5:
+            # adjacent second person — the touching-instances case
+            m2 = np.roll(m, int(rng.uniform(0.12, 0.22) * w), axis=1)
+            m = m | m2
         if not m.any():
             continue
-        tex = _texture(rng, h, w,
-                       np.clip(np.asarray(_CLASS_BASE[name])
-                               + rng.uniform(-0.08, 0.08, 3), 0, 1),
-                       amp=0.12, freq=10)
+        base = np.clip(np.asarray(_CLASS_BASE[name])
+                       + rng.uniform(-0.08, 0.08, 3), 0, 1)
+        if photo_style:
+            tex = _fractal_texture(rng, h, w, base, amp=0.15)
+        else:
+            tex = _texture(rng, h, w, base, amp=0.12, freq=10)
         img[m] = tex[m]
+        if photo_style:
+            _shade(rng, img, m)
+            # contact shadow under the subject
+            ys, xs = np.nonzero(m)
+            sh = _ellipse_mask(h, w, ys.max(), xs.mean(),
+                               max(2.0, 0.04 * h),
+                               max(3.0, (xs.max() - xs.min()) * 0.55))
+            sh &= ~m
+            img[sh] *= rng.uniform(0.55, 0.8)
         labels[m] = CLASS_TO_INDEX[name]
+
+    if photo_style:
+        yy, xx = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w),
+                             indexing="ij")
+        vig = 1.0 - rng.uniform(0.1, 0.3) * (yy * yy + xx * xx)
+        img *= vig[..., None]
+        img = np.clip(img + 0.015 * rng.standard_normal(img.shape), 0, 1)
     return img.astype(np.float32), labels
 
 
-def generate_corpus(n_scenes: int = 256, size: int = 128, seed: int = 0):
+def generate_corpus(n_scenes: int = 256, size: int = 128, seed: int = 0,
+                    photo_frac: float = 0.5):
+    """Training corpus: a mix of flat-texture and photo-style scenes so
+    the net learns shape cues under both appearance families."""
     rng = np.random.default_rng(seed)
     imgs, labs = [], []
-    for _ in range(n_scenes):
-        img, lab = generate_scene(rng, size=size)
+    for i in range(n_scenes):
+        img, lab = generate_scene(rng, size=size,
+                                  photo_style=(rng.random() < photo_frac))
         imgs.append(img)
         labs.append(lab)
     return np.stack(imgs), np.stack(labs)

@@ -33,11 +33,11 @@ class TestDefaultCheckpointCapability:
         from gs360x.models import segmentation as seg
 
         # small-but-real training run on the synthetic corpus
-        images, labels = synthseg.generate_corpus(96, size=64, seed=0)
+        images, labels = synthseg.generate_corpus(160, size=64, seed=0)
         state = seg.create_train_state(jax.random.key(0), 3e-3,
                                        input_size=64)
         rng = np.random.default_rng(1)
-        for _ in range(160):
+        for _ in range(280):
             idx = rng.integers(0, len(images), 16)
             state, _ = seg.train_step(state, jnp.asarray(images[idx]),
                                       jnp.asarray(labels[idx]),
@@ -58,6 +58,30 @@ class TestDefaultCheckpointCapability:
         union = float(((pred > 0) | (labels > 0)).sum())
         iou = inter / max(union, 1.0)
         assert iou >= 0.5, f"subject IoU {iou:.3f} below capability gate"
+
+    def test_iou_on_photographic_style_fixtures(self, trained):
+        """VERDICT r2 #3: capability must hold on PHOTOGRAPHIC-style
+        held-out scenes (fractal textures, directional shading, contact
+        shadows, clutter, vignette, noise) — a different appearance
+        family than the flat-texture corpus look."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(4242)
+        imgs, labs = [], []
+        for _ in range(16):
+            im, lb = synthseg.generate_scene(rng, size=64,
+                                             photo_style=True)
+            imgs.append(im)
+            labs.append(lb)
+        images = np.stack(imgs)
+        labels = np.stack(labs)
+        logits = trained.apply_fn({"params": trained.params},
+                                  jnp.asarray(images))
+        pred = np.asarray(jnp.argmax(logits, axis=-1))
+        inter = float(((pred > 0) & (labels > 0)).sum())
+        union = float(((pred > 0) | (labels > 0)).sum())
+        iou = inter / max(union, 1.0)
+        assert iou >= 0.7, f"photo-style IoU {iou:.3f} below 0.7 gate"
 
     def test_checkpoint_round_trip_preserves_predictions(self, trained,
                                                          tmp_path):
