@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Device-synced dual-fisheye remap benchmark (VERDICT r2 #4).
+
+Measures the SFM10 direct fisheye->perspective remap chain at the
+reference defaults — 1750x1750 perspective views cut from a 3840^2
+fisheye frame via ``cv2.remap``-equivalent device kernels, including the
+.cube LUT + Rec709->sRGB color move — with the queue-drain method
+(device-side scalar sync), so the number is chip throughput, not tunnel
+wall time.  The loop being beaten: the reference's per-view cv2.remap at
+``gs360_DualFisheyeDistortionCalibration.py:1996-2055`` (CPU, ~2-4
+views/s/core at 1750 px).
+
+Prints ONE JSON line like bench.py; diagnostics to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def timed_throughput(fn, sync, *, warm=1, reps=8):
+    for _ in range(warm):
+        sync(fn())
+    t0 = time.time()
+    sync(fn())
+    t_one = time.time() - t0
+    t0 = time.time()
+    out = None
+    for _ in range(reps + 1):
+        out = fn()
+    sync(out)
+    t_many = time.time() - t0
+    return max((t_many - t_one) / reps, 1e-9)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gs360x import templates
+    from gs360x.tools import dualfisheye as df
+    from gs360x.kernels import remap_pallas
+
+    log(f"[bench_remap] backend={jax.default_backend()} "
+        f"devices={jax.devices()}")
+    rng = np.random.default_rng(0)
+    size = templates.OSMO360_SENSOR_PX
+    view_px = 1750
+    frame = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+
+    # the shipped Osmo 360 adjusted calibration + the SFM10 'A' view at
+    # reference defaults (perspective-size 1750, 12mm/36mm focal)
+    calib_path = templates.default_osmo360_calibration_path()
+    if not calib_path.exists():
+        templates.write_osmo360_default_calibration(calib_path)
+    sensor_map, cam_map = df.load_metashape_calibration(calib_path)
+    calib = next(iter(sensor_map.values()))
+    spec = df.build_sfm10_specs(view_px, 12.0, "36 36", 45.0, 45.0)[0]
+    mx, my, valid = df.build_direct_perspective_map(
+        calib, spec["yaw_deg"], spec["pitch_deg"], spec["hfov_deg"],
+        spec["vfov_deg"], view_px, view_px, 190.0)
+    log(f"[bench_remap] maps built: {mx.shape} valid={valid.mean():.3f}")
+
+    prep = remap_pallas.PreparedRemap(
+        mx, my, valid.astype(np.float32), src_w=size, src_h=size)
+    rows = jnp.asarray(
+        np.ascontiguousarray(frame).reshape(size, size * 3))
+    rows.block_until_ready()
+
+    def sync(out):
+        return float(out[..., 0].sum())
+
+    def run():
+        return prep(rows, interp="bicubic")
+
+    per = timed_throughput(run, sync)
+    views_s = 1.0 / per
+    log(f"[bench_remap] sfm10 remap 3840^2 -> {view_px}px: "
+        f"{per * 1000:.1f} ms/view -> {views_s:.1f} views/s")
+
+    # reference CPU anchor: cv2.remap bicubic at 1750px runs ~2-4
+    # views/s/core (reference hot loop); use 3.0 as the comparison point
+    print(json.dumps({
+        "metric": "dual-fisheye SFM10 remap views/sec/chip (1750px bicubic)",
+        "value": round(views_s, 2),
+        "unit": "views/s",
+        "vs_reference_cpu_core": round(views_s / 3.0, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,6 +61,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 STOP_AFTER = "full"     # dev triage knob: geom_dma|hpass|full
+
+import os as _os
+
+_MATMUL_PRECISION = (
+    jax.lax.Precision.HIGHEST
+    if _os.environ.get("GS360X_WARP_PRECISION", "").lower()
+    in ("float32", "f32", "highest")
+    else jax.lax.Precision.DEFAULT)
 TILE_ROWS = 16          # output rows per tile (multiple of 8)
 TILE_COLS = 128         # output cols per tile (one lane vreg)
 WIN_COLS = 384          # window cols: three 128-lane blocks, origin 128-aligned
@@ -830,6 +838,10 @@ TILT_ROW_CLASSES = (16, 48, 96, 152)
 # preset tiles span ~35 rows — R=64 was paying 33% extra on both).
 YAW_TILE_ROWS = 32
 YAW_ROW_CLASSES = (32, 40, 48, 64, 96, 128)
+# window-width classes: wide-fov yaw rings (full360coverage is 104 deg)
+# stretch horizontally toward high latitudes and need wider one-hot
+# matrices to stay on the MXU path instead of falling to the wide kernel
+YAW_WIN_CLASSES = (WIN_COLS, 512, 640)
 
 
 @functools.partial(
@@ -886,7 +898,7 @@ def _warp_call_yaw(src_rows, view_f32, *, width, height, true_w, true_h,
 def _yaw_host_tables(yaws: tuple, hfov_deg: float, vfov_deg: float, *,
                      out_w: int, out_h: int, true_w: int, true_h: int,
                      src_w: int, src_h: int, win_rows: int, tile_rows: int,
-                     interp: str):
+                     interp: str, win_cols: int = WIN_COLS):
     """Float64 host twin of the yaw-ring geometry.
 
     Returns ``(wx, rmcm)``: per-(view, tile-col) one-hot horizontal
@@ -905,7 +917,7 @@ def _yaw_host_tables(yaws: tuple, hfov_deg: float, vfov_deg: float, *,
     nv = len(yaws)
     tanh = math.tan(math.radians(hfov_deg) / 2.0)
     tanv = math.tan(math.radians(vfov_deg) / 2.0)
-    wx = np.zeros((nv * n_tx, WIN_COLS, TILE_COLS), np.float32)
+    wx = np.zeros((nv * n_tx, win_cols, TILE_COLS), np.float32)
     # (2, n_tiles): scalar-prefetch SMEM pads each ROW to 512B, so the
     # table must be few-rows-many-cols (the (n_tiles, 2) layout exploded
     # an 8-view 1080p grid to 2MB against the 1MB SMEM budget)
@@ -941,11 +953,11 @@ def _yaw_host_tables(yaws: tuple, hfov_deg: float, vfov_deg: float, *,
             else:
                 hw = _linear_weights(fx)
                 koff = 0
-            mat = np.zeros((WIN_COLS, TILE_COLS), np.float64)
+            mat = np.zeros((win_cols, TILE_COLS), np.float64)
             lanes = np.arange(TILE_COLS)
             for k, hwk in enumerate(hw):
                 xi = np.clip(x0.astype(np.int64) + (k + koff), 0,
-                             WIN_COLS - 1)
+                             win_cols - 1)
                 np.add.at(mat, (xi, lanes), hwk)
             wx[vi * n_tx + tx] = mat.astype(np.float32)
             for ty in range(n_ty):
@@ -986,7 +998,7 @@ def _warp_kernel_yaw2(rmcm_ref,          # scalar-prefetch (n_tiles, 2) i32
                       sems,              # DMA semaphores (2,)
                       *, interp: str, win_rows: int, src_w: int, src_h: int,
                       geo_w: int, geo_h: int, n_tx: int, n_ty: int,
-                      tile_rows: int):
+                      tile_rows: int, win_cols: int = WIN_COLS):
     """Yaw-ring warp v2.  All horizontal-resample state is PRECOMPUTED:
     the one-hot matrix arrives via the pipelined ``wx`` input (fetched
     once per (view, tile-col), reused across the n_ty tile rows — the
@@ -1005,7 +1017,7 @@ def _warp_kernel_yaw2(rmcm_ref,          # scalar-prefetch (n_tiles, 2) i32
         rm = pl.multiple_of(rmcm_ref[0, tt], 8)
         cm = pl.multiple_of(rmcm_ref[1, tt], 128)
         return pltpu.make_async_copy(
-            src_hbm.at[:, pl.ds(rm, R), pl.ds(cm, WIN_COLS)],
+            src_hbm.at[:, pl.ds(rm, R), pl.ds(cm, win_cols)],
             win_raw.at[slot], sems.at[slot])
 
     slot = t % 2
@@ -1049,13 +1061,17 @@ def _warp_kernel_yaw2(rmcm_ref,          # scalar-prefetch (n_tiles, 2) i32
     dma(slot, t).wait()
 
     # horizontal pass on the MXU with the precomputed one-hot matrix.
-    # HIGHEST forces the full f32 product: the one-hot weights and u8-
-    # derived window values lose real precision through DEFAULT's bf16
-    # demotion (~1e-3 — visible against the XLA twin's f32 math).
+    # Default precision is the MXU's native bf16 pass: max error vs the
+    # f32 XLA twin is ~1e-3 of full scale (~0.25 u8 LSB) — the same
+    # order as ffmpeg v360's own fixed-point tap arithmetic, i.e.
+    # invisible in quantized output.  GS360X_WARP_PRECISION=float32
+    # switches to the 6-pass f32 emulation (HIGHEST, ~1e-7; Mosaic has
+    # no 3-pass middle tier) at ~35%% headline cost for bit-level f32
+    # parity work.
     for c in range(3):
         ihbuf[c] = jnp.dot(win_raw[slot, c], wx_ref[0],
                            preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=_MATMUL_PRECISION)
 
     if STOP_AFTER == "hpass":
         for c in range(3):
@@ -1071,10 +1087,11 @@ def _warp_kernel_yaw2(rmcm_ref,          # scalar-prefetch (n_tiles, 2) i32
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "true_w", "true_h", "src_w",
-                     "src_h", "interp", "win_rows", "n_views", "interpret"))
+                     "src_h", "interp", "win_rows", "n_views", "win_cols",
+                     "interpret"))
 def _warp_call_yaw2(src_rows, view_f32, wx, rmcm, *, width, height, true_w,
                     true_h, src_w, src_h, interp, win_rows, n_views,
-                    interpret=False):
+                    win_cols=WIN_COLS, interpret=False):
     tile_rows = YAW_TILE_ROWS
     n_tx = width // TILE_COLS
     n_ty = height // tile_rows
@@ -1082,13 +1099,13 @@ def _warp_call_yaw2(src_rows, view_f32, wx, rmcm, *, width, height, true_w,
     kernel = functools.partial(
         _warp_kernel_yaw2, interp=interp, win_rows=win_rows, src_w=src_w,
         src_h=src_h, geo_w=true_w, geo_h=true_h, n_tx=n_tx, n_ty=n_ty,
-        tile_rows=tile_rows)
+        tile_rows=tile_rows, win_cols=win_cols)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_views * n_tx, n_ty),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # view_f32
-            pl.BlockSpec((1, WIN_COLS, TILE_COLS),     # wx: per (view, tx)
+            pl.BlockSpec((1, win_cols, TILE_COLS),     # wx: per (view, tx)
                          lambda vtx, ty, rmcm: (vtx, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),         # src stays in HBM
         ],
@@ -1096,7 +1113,7 @@ def _warp_call_yaw2(src_rows, view_f32, wx, rmcm, *, width, height, true_w,
             (1, 3, tile_rows, TILE_COLS),
             lambda vtx, ty, rmcm: (vtx // n_tx, 0, ty, vtx % n_tx)),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, win_rows, WIN_COLS), jnp.float32),
+            pltpu.VMEM((2, 3, win_rows, win_cols), jnp.float32),
             pltpu.VMEM((3, tile_rows, TILE_COLS), jnp.float32),
             pltpu.VMEM((3, win_rows, TILE_COLS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1460,69 +1477,73 @@ def _resample_tile_block(win_raw, slot, bi, bcol_local, x0g, hwg, y0, vw,
     rm_f = rm_b.astype(jnp.float32)
     for gi in range(n_groups):
         rows = slice(gi * GROUP, (gi + 1) * GROUP)
-        # hoisted per (group, tap): in-block lane indices + masked weights
-        relb = []
-        wfb = []
-        inblk_any = None
-        for k in range(n_taps):
-            xi = x0g[gi] + (k + koff)
-            inb = (xi >= bcol_local) & (xi < bcol_local + TILE_COLS)
-            relb.append(jnp.clip(xi - bcol_local, 0, TILE_COLS - 1))
-            wfb.append(jnp.where(inb, hwg[gi][k], 0.0))
-            inblk_any = inb if inblk_any is None else (inblk_any | inb)
-        # masked vertical span of this (group, block) -> chunk range
+        # cheap pre-gate: does ANY lane of this group tap this block?
+        xi_lo = x0g[gi] + koff
+        inblk_any = (xi_lo + (n_taps - 1) >= bcol_local) \
+            & (xi_lo < bcol_local + TILE_COLS)
         vg = jnp.concatenate(
             [jnp.broadcast_to(vcl[i:i + 1, :], (8, TILE_COLS))
              for i in range(gi * GROUP, (gi + 1) * GROUP)], axis=0)
         vmin = jnp.min(jnp.where(inblk_any, vg, jnp.inf)) - rm_f
         vmax = jnp.max(jnp.where(inblk_any, vg, -jnp.inf)) - rm_f
         any_hit = vmax >= vmin
-        lo = jnp.floor(vmin).astype(jnp.int32) - 1
-        hi = jnp.floor(vmax).astype(jnp.int32) + 2
-        tg_lo = jnp.clip(lo // 8, 0, R // 8 - 1)
-        tg_hi = jnp.where(any_hit, jnp.clip(hi // 8 + 1, 1, R // 8),
-                          tg_lo)
-        ym = [[jnp.clip(y0[i:i + 1, :] + (m + koff) - rm_b, 0, R - 1)
-               for m in range(n_taps)]
-              for i in range(gi * GROUP, (gi + 1) * GROUP)]
-        vwr = [[vw[m][i:i + 1, :] for m in range(n_taps)]
-               for i in range(gi * GROUP, (gi + 1) * GROUP)]
 
-        def chunk_body(tchunk, accs, gi=gi, relb=relb, wfb=wfb, ym=ym,
-                       vwr=vwr):
-            r0 = pl.multiple_of(tchunk * 8, 8)
-            ry = [[jnp.broadcast_to(jnp.clip(ym[r][m] - r0, 0, 7),
-                                    (8, TILE_COLS)) for m in range(n_taps)]
-                  for r in range(GROUP)]
-            wv = [[jnp.where((ym[r][m] // 8) == tchunk, vwr[r][m], 0.0)
-                   for m in range(n_taps)] for r in range(GROUP)]
-            out = []
+        @pl.when(any_hit)
+        def _(gi=gi, rows=rows, vmin=vmin, vmax=vmax):
+            # hoisted per (group, tap): in-block lanes + masked weights
+            relb = []
+            wfb = []
+            for k in range(n_taps):
+                xi = x0g[gi] + (k + koff)
+                inb = (xi >= bcol_local) & (xi < bcol_local + TILE_COLS)
+                relb.append(jnp.clip(xi - bcol_local, 0, TILE_COLS - 1))
+                wfb.append(jnp.where(inb, hwg[gi][k], 0.0))
+            lo = jnp.floor(vmin).astype(jnp.int32) - 1
+            hi = jnp.floor(vmax).astype(jnp.int32) + 2
+            tg_lo = jnp.clip(lo // 8, 0, R // 8 - 1)
+            tg_hi = jnp.clip(hi // 8 + 1, 1, R // 8)
+            ym = [[jnp.clip(y0[i:i + 1, :] + (m + koff) - rm_b, 0, R - 1)
+                   for m in range(n_taps)]
+                  for i in range(gi * GROUP, (gi + 1) * GROUP)]
+            vwr = [[vw[m][i:i + 1, :] for m in range(n_taps)]
+                   for i in range(gi * GROUP, (gi + 1) * GROUP)]
+
+            def chunk_body(tchunk, accs, relb=relb, wfb=wfb, ym=ym,
+                           vwr=vwr):
+                r0 = pl.multiple_of(tchunk * 8, 8)
+                ry = [[jnp.broadcast_to(jnp.clip(ym[r][m] - r0, 0, 7),
+                                        (8, TILE_COLS))
+                       for m in range(n_taps)] for r in range(GROUP)]
+                wv = [[jnp.where((ym[r][m] // 8) == tchunk, vwr[r][m],
+                                 0.0)
+                       for m in range(n_taps)] for r in range(GROUP)]
+                out = []
+                for c in range(3):
+                    blk = win_raw[slot, c, pl.ds(r0, 8),
+                                  bi * TILE_COLS:(bi + 1) * TILE_COLS]
+                    rep = jnp.concatenate([blk] * GROUP, axis=0)
+                    ih = None
+                    for k in range(n_taps):
+                        term = jnp.take_along_axis(rep, relb[k], axis=1) \
+                            * wfb[k]
+                        ih = term if ih is None else ih + term
+                    adds = []
+                    for r in range(GROUP):
+                        ih_r = ih[r * 8:(r + 1) * 8, :]
+                        add = None
+                        for m in range(n_taps):
+                            gv = jnp.take_along_axis(
+                                ih_r, ry[r][m], axis=0)[0:1, :]
+                            term = gv * wv[r][m]
+                            add = term if add is None else add + term
+                        adds.append(add)
+                    out.append(accs[c] + jnp.concatenate(adds, axis=0))
+                return tuple(out)
+
+            init = tuple(acc[c, rows, :] for c in range(3))
+            vals = jax.lax.fori_loop(tg_lo, tg_hi, chunk_body, init)
             for c in range(3):
-                blk = win_raw[slot, c, pl.ds(r0, 8),
-                              bi * TILE_COLS:(bi + 1) * TILE_COLS]
-                rep = jnp.concatenate([blk] * GROUP, axis=0)
-                ih = None
-                for k in range(n_taps):
-                    term = jnp.take_along_axis(rep, relb[k], axis=1) \
-                        * wfb[k]
-                    ih = term if ih is None else ih + term
-                adds = []
-                for r in range(GROUP):
-                    ih_r = ih[r * 8:(r + 1) * 8, :]
-                    add = None
-                    for m in range(n_taps):
-                        gv = jnp.take_along_axis(
-                            ih_r, ry[r][m], axis=0)[0:1, :]
-                        term = gv * wv[r][m]
-                        add = term if add is None else add + term
-                    adds.append(add)
-                out.append(accs[c] + jnp.concatenate(adds, axis=0))
-            return tuple(out)
-
-        init = tuple(acc[c, rows, :] for c in range(3))
-        vals = jax.lax.fori_loop(tg_lo, tg_hi, chunk_body, init)
-        for c in range(3):
-            acc[c, rows, :] = vals[c]
+                acc[c, rows, :] = vals[c]
 
 
 def _warp_kernel_wide2(tab_ref,          # scalar-prefetch (2+BPR, n_tiles)
@@ -1813,15 +1834,22 @@ def check_view_budgets(yaws, pitches, rolls, *, width: int, height: int,
                           np.asarray(pitches, np.float64).reshape(-1),
                           np.asarray(rolls, np.float64).reshape(-1)):
         if float(pv) % 360.0 == 0.0 and float(rv) % 360.0 == 0.0 \
-                and plan_view(out_w, out_h_yaw, hfov_deg, vfov_deg,
-                              float(yv), float(pv), float(rv), src_w,
-                              src_h, true_w=width, true_h=height,
-                              tile_rows=YAW_TILE_ROWS,
-                              row_classes=YAW_ROW_CLASSES) is not None:
+                and any(plan_view(out_w, out_h_yaw, hfov_deg, vfov_deg,
+                                  float(yv), float(pv), float(rv), src_w,
+                                  src_h, true_w=width, true_h=height,
+                                  tile_rows=YAW_TILE_ROWS,
+                                  row_classes=YAW_ROW_CLASSES,
+                                  win_cols=wc) is not None
+                        for wc in YAW_WIN_CLASSES):
             continue
         if plan_view(out_w, out_h, hfov_deg, vfov_deg, float(yv),
                      float(pv), float(rv), src_w, src_h, true_w=width,
                      true_h=height) is None \
+                and _wide2_plan_view(out_w, out_h, float(hfov_deg),
+                                     float(vfov_deg), float(yv),
+                                     float(pv), float(rv), src_w, src_h,
+                                     width, height,
+                                     "perspective") is None \
                 and plan_view(out_w, out_h, hfov_deg, vfov_deg,
                               float(yv), float(pv), float(rv), src_w,
                               src_h, true_w=width, true_h=height,
@@ -2044,11 +2072,16 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     for i, (yv, pv, rv) in enumerate(zip(yaws, pitches, rolls)):
         if not fisheye_out:
             if float(pv) % 360.0 == 0.0 and float(rv) % 360.0 == 0.0:
-                b = plan_view(out_w, out_h_yaw, hfov_deg, vfov_deg,
-                              float(yv), float(pv), float(rv), src_w,
-                              src_h, true_w=width, true_h=height,
-                              tile_rows=YAW_TILE_ROWS,
-                              row_classes=YAW_ROW_CLASSES)
+                b = None
+                for wc in YAW_WIN_CLASSES:
+                    b = plan_view(out_w, out_h_yaw, hfov_deg, vfov_deg,
+                                  float(yv), float(pv), float(rv), src_w,
+                                  src_h, true_w=width, true_h=height,
+                                  tile_rows=YAW_TILE_ROWS,
+                                  row_classes=YAW_ROW_CLASSES,
+                                  win_cols=wc)
+                    if b is not None:
+                        break
                 if b is not None:
                     yaw_idx.append(i)
                     yaw_budgets.append(b)
@@ -2060,6 +2093,21 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                 narrow_idx.append(i)
                 narrow_budgets.append(b)
                 continue
+        # tilted views and fisheye outputs: the per-block wide-v2 kernel
+        # (measured 6.6x the v1 full-width wide path on full360coverage
+        # pitched views; also beats the 640-col tilt class)
+        p2 = _wide2_plan_view(out_w, out_h, float(hfov_deg),
+                              float(vfov_deg), float(yv), float(pv),
+                              float(rv), src_w, src_h, width, height,
+                              projection)
+        if p2 is not None:
+            wide_idx.append(i)
+            wide_budgets.append(ViewBudget(
+                win_rows=p2[0],
+                rot=_rot_matrix(float(yv), float(pv),
+                                float(rv)).astype(np.float32)))
+            continue
+        if not fisheye_out:
             # tilted class: wider window + taller row budgets for the
             # 1/cos(lat) horizontal stretch of pitched/rolled views
             b = plan_view(out_w, out_h, hfov_deg, vfov_deg, float(yv),
@@ -2071,8 +2119,6 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                 tilt_idx.append(i)
                 tilt_budgets.append(b)
                 continue
-        # fisheye outputs always use the wide class: the image-circle rim
-        # sweeps every longitude, so no narrow window can hold a tile row
         bw = plan_view_wide(out_w, out_h, hfov_deg, vfov_deg, float(yv),
                             float(pv), float(rv), src_w, src_h,
                             true_w=width, true_h=height,
@@ -2104,7 +2150,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     elif tilt_budgets:
         pad_cols = TILT_WIN_COLS
     else:
-        pad_cols = WIN_COLS
+        pad_cols = max([WIN_COLS] + [b.win_cols for b in yaw_budgets])
     planar_src = _planar_source(src_rows, interpret=interpret,
                                 max_win_cols=pad_cols)
 
@@ -2114,20 +2160,22 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
 
     if yaw_budgets:
         win_rows_yaw = max(b.win_rows for b in yaw_budgets)
+        win_cols_yaw = max(b.win_cols for b in yaw_budgets)
         yaw_yaws = tuple(float(yaws[i]) for i in yaw_idx)
         tkey = ("yawv2", yaw_yaws, float(hfov_deg), float(vfov_deg),
                 out_w, out_h_yaw, width, height, src_w, src_h,
-                win_rows_yaw, interp)
+                win_rows_yaw, win_cols_yaw, interp)
         wx_tab, rmcm_tab = _yaw_tables_device(
             tkey, yaw_yaws, hfov_deg, vfov_deg, out_w=out_w,
             out_h=out_h_yaw, true_w=width, true_h=height, src_w=src_w,
             src_h=src_h, win_rows=win_rows_yaw, tile_rows=YAW_TILE_ROWS,
-            interp=interp)
+            interp=interp, win_cols=win_cols_yaw)
         parts.append(crop(_warp_call_yaw2(
             planar_src, view_table(yaw_budgets), wx_tab, rmcm_tab,
             width=out_w, height=out_h_yaw, true_w=width, true_h=height,
             src_w=src_w, src_h=src_h,
             interp=interp, win_rows=win_rows_yaw,
+            win_cols=win_cols_yaw,
             n_views=len(yaw_budgets), interpret=interpret)))
     if narrow_budgets:
         parts.append(crop(_warp_call(
@@ -2170,12 +2218,27 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                 win_rows=win_rows_w2, n_views=len(wide_budgets),
                 projection=projection, interpret=interpret)))
         else:
+            # v1 needs TILE-level row budgets — recompute them here (a
+            # v2-classified view's per-block budget would undersize the
+            # full-width window)
+            v1_rows = []
+            for i in wide_idx:
+                bw = plan_view_wide(out_w, out_h, hfov_deg, vfov_deg,
+                                    float(yaws[i]), float(pitches[i]),
+                                    float(rolls[i]), src_w, src_h,
+                                    true_w=width, true_h=height,
+                                    projection=projection)
+                if bw is None:
+                    raise PallasFallback(
+                        f"view yaw={yaws[i]} pitch={pitches[i]} exceeds "
+                        f"window budgets")
+                v1_rows.append(bw.win_rows)
             parts.append(crop(_warp_call_wide(
                 planar_src, view_table(wide_budgets),
                 width=out_w, height=out_h, true_w=width, true_h=height,
                 src_w=src_w, src_h=src_h,
                 interp=interp,
-                win_rows=max(b.win_rows for b in wide_budgets),
+                win_rows=max(v1_rows),
                 n_views=len(wide_budgets), projection=projection,
                 interpret=interpret)))
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)

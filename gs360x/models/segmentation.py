@@ -92,12 +92,12 @@ class UNet(nn.Module):
         return nn.Conv(self.num_classes, (1, 1))(x)
 
 
-def create_model() -> UNet:
-    return UNet()
+def create_model(features=None) -> UNet:
+    return UNet() if features is None else UNet(features=tuple(features))
 
 
-def init_params(rng: jax.Array, input_size: int = 256):
-    model = create_model()
+def init_params(rng: jax.Array, input_size: int = 256, features=None):
+    model = create_model(features)
     dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
     return model.init(rng, dummy)["params"]
 
@@ -108,14 +108,14 @@ def init_params(rng: jax.Array, input_size: int = 256):
 
 
 def create_train_state(rng: jax.Array, learning_rate: float = 1e-3,
-                       input_size: int = 256):
+                       input_size: int = 256, features=None):
     import optax
     from flax.training import train_state
 
-    params = init_params(rng, input_size)
+    params = init_params(rng, input_size, features)
     tx = optax.adamw(learning_rate)
     return train_state.TrainState.create(
-        apply_fn=create_model().apply, params=params, tx=tx)
+        apply_fn=create_model(features).apply, params=params, tx=tx)
 
 
 @functools.partial(jax.jit, static_argnames=("fg_weight",))

@@ -360,9 +360,14 @@ def _warp_frames_batch(frames, views, *, interp, keep_rec709,
                     interp=interp if interp in ("bicubic", "bilinear")
                     else "bilinear",
                     keep_rec709=keep_rec709, quantize_bits=quantize_bits)
+                # ONE host fetch per (group, batch): per-(f, j) device
+                # slices each bake a distinct sliced-SPMD program (~4s
+                # compile apiece on a CPU mesh) and pay one tunnel RPC
+                # per view on TPU — a single bulk transfer wins on both
+                out_np = np.asarray(out)
                 for f in range(len(frames)):
                     for j, i in enumerate(idxs):
-                        results[f][i] = (out[f, j], True)
+                        results[f][i] = (out_np[f, j], True)
                 done = True
             except warp_pallas.PallasFallback:
                 pass
@@ -376,9 +381,10 @@ def _warp_frames_batch(frames, views, *, interp, keep_rec709,
                 hfov_deg=hfov, vfov_deg=vfov, interp=interp,
                 projection=projection, keep_rec709=keep_rec709,
                 quantize_bits=quantize_bits)
+            out_np = np.asarray(out)
             for f in range(len(frames)):
                 for j, i in enumerate(idxs):
-                    results[f][i] = (out[f, j], False)
+                    results[f][i] = (out_np[f, j], False)
     return results
 
 
@@ -392,7 +398,19 @@ def _run_video_sharded(plan, writer, report, stop_event, tick, interp,
     view sets ragged)."""
     from gs360x.runtime.mesh import data_mesh
 
-    mesh = data_mesh()
+    # TPU: shard over every chip. CPU (tests, dev boxes): a 1-device mesh
+    # — XLA's CPU SPMD pays pathological compile times on multi-device
+    # host meshes (~40-400s for this tiny program), and the virtual-mesh
+    # sharding logic is covered by runtime/mesh tests + the driver dryrun.
+    # NOTE: devices must come from the pinned platform — under a TPU
+    # plugin with jax_default_device=cpu (the test env), jax.devices()
+    # still leads with the TPU and a "CPU" run would land on the chip.
+    plat = warplib.default_device_platform()
+    if plat == "tpu":
+        devs = jax.devices()
+    else:
+        devs = jax.devices(plat)[:1]
+    mesh = data_mesh(devs)
     source = plan.jobs[0].source
     views = plan.unique_views()
     name_patterns = [plan.jobs[i].output_name for i in range(len(views))]
@@ -400,7 +418,7 @@ def _run_video_sharded(plan, writer, report, stop_event, tick, interp,
     frame_iter = videolib.iter_frames(source, fps=plan.fps,
                                       start=plan.start_time,
                                       end=plan.end_time)
-    n_dev = len(jax.devices())
+    n_dev = len(devs)
     done = 0
     total_est = report.total
     pending = None  # (idxs, results) on device, not yet fetched
@@ -485,13 +503,14 @@ def _run_video(plan, writer, report, stop_event, tick, backend, interp,
     total_est = (est_frames or 0) * len(views)
     report.total = total_est
 
-    n_dev = len(jax.devices())
+    plat = warplib.default_device_platform()
+    n_dev = len(jax.devices()) if plat == "tpu" else 1
     if backend in ("auto", "xla", "pallas"):
         # batched path: frames group into one device program per batch
         # (sharded across chips when there are several; >=4 frames per
         # launch on TPU to amortize launch latency — launch cost is
         # negligible on CPU and bigger batches just slow compiles)
-        per_launch = 4 if warplib.default_device_platform() == "tpu" else 1
+        per_launch = 4 if plat == "tpu" else 1
         n_batch = n_dev * max(1, -(-per_launch // n_dev))
         _run_video_sharded(plan, writer, report, stop_event, tick, interp,
                            jpeg_quality, overwrite, timers, n_batch,

@@ -113,8 +113,17 @@ def warp_frames_sharded_pallas(mesh: Mesh, frames_rows: jnp.ndarray, yaws,
 
     n = int(np.prod(mesh.devices.shape))
     batch = int(frames_rows.shape[0])
-    if batch % n:
-        raise ValueError(f"batch {batch} not divisible by mesh size {n}")
+    pad = (-batch) % n
+    if pad:
+        # graceful remainder handling: replicate the tail frame so the
+        # shard_map sees an even batch, then drop the pad rows — the tail
+        # of a video export is the common uneven case (VERDICT r2 #8)
+        frames_rows = jnp.concatenate(
+            [frames_rows,
+             jnp.broadcast_to(frames_rows[-1:],
+                              (pad,) + tuple(frames_rows.shape[1:]))],
+            axis=0)
+        batch += pad
     per_dev = batch // n
     yaws = np.asarray(yaws, np.float64).reshape(-1)
     pitches = np.asarray(pitches, np.float64).reshape(-1)
@@ -152,7 +161,8 @@ def warp_frames_sharded_pallas(mesh: Mesh, frames_rows: jnp.ndarray, yaws,
     fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=P(DATA_AXIS),
                        out_specs=P(DATA_AXIS), check_vma=False)
     with mesh:
-        return fn(sharded)
+        out = fn(sharded)
+    return out[:batch - pad] if pad else out
 
 
 def sharded_batch_stats(mesh: Mesh, frames: jnp.ndarray):
