@@ -836,8 +836,12 @@ TILT_ROW_CLASSES = (16, 48, 96, 152)
 # 8K frame). Row classes grow accordingly; the 40/48 steps matter because
 # both the window DMA and the MXU h-pass scale linearly with R (default
 # preset tiles span ~35 rows — R=64 was paying 33% extra on both).
-YAW_TILE_ROWS = 32
-YAW_ROW_CLASSES = (32, 40, 48, 64, 96, 128)
+# 64-row tiles with u8 windows: per-tile fixed costs (geometry trig, DMA
+# issue/wait, loop overhead ~1.6us/tile) dominate the yaw kernel once the
+# window DMA rides u8, so halving the tile count beats the extra window
+# rows (32-row: 899 views/s; 64: 1,046; 96: 911 — measured 8x 8K->1080p)
+YAW_TILE_ROWS = 64
+YAW_ROW_CLASSES = (48, 64, 96, 128, 160, 192)
 # window-width classes: wide-fov yaw rings (full360coverage is 104 deg)
 # stretch horizontally toward high latitudes and need wider one-hot
 # matrices to stay on the MXU path instead of falling to the wide kernel
@@ -898,7 +902,8 @@ def _warp_call_yaw(src_rows, view_f32, *, width, height, true_w, true_h,
 def _yaw_host_tables(yaws: tuple, hfov_deg: float, vfov_deg: float, *,
                      out_w: int, out_h: int, true_w: int, true_h: int,
                      src_w: int, src_h: int, win_rows: int, tile_rows: int,
-                     interp: str, win_cols: int = WIN_COLS):
+                     interp: str, win_cols: int = WIN_COLS,
+                     weight_scale: float = 1.0):
     """Float64 host twin of the yaw-ring geometry.
 
     Returns ``(wx, rmcm)``: per-(view, tile-col) one-hot horizontal
@@ -959,6 +964,9 @@ def _yaw_host_tables(yaws: tuple, hfov_deg: float, vfov_deg: float, *,
                 xi = np.clip(x0.astype(np.int64) + (k + koff), 0,
                              win_cols - 1)
                 np.add.at(mat, (xi, lanes), hwk)
+            if weight_scale != 1.0:
+                # u8 windows: the /255 normalization rides the weights
+                mat *= weight_scale
             wx[vi * n_tx + tx] = mat.astype(np.float32)
             for ty in range(n_ty):
                 vt = vcl[ty * tile_rows:(ty + 1) * tile_rows,
@@ -1067,9 +1075,14 @@ def _warp_kernel_yaw2(rmcm_ref,          # scalar-prefetch (n_tiles, 2) i32
     # invisible in quantized output.  GS360X_WARP_PRECISION=float32
     # switches to the 6-pass f32 emulation (HIGHEST, ~1e-7; Mosaic has
     # no 3-pass middle tier) at ~35%% headline cost for bit-level f32
-    # parity work.
+    # parity work.  u8 windows (raw source bytes, /255 folded into wx)
+    # cast on the VPU right before the matmul — the bytes are exact in
+    # f32/bf16, so numerics match the f32-window path bit for bit.
     for c in range(3):
-        ihbuf[c] = jnp.dot(win_raw[slot, c], wx_ref[0],
+        wf = win_raw[slot, c]
+        if wf.dtype == jnp.uint8:
+            wf = wf.astype(jnp.int32).astype(jnp.float32)
+        ihbuf[c] = jnp.dot(wf, wx_ref[0],
                            preferred_element_type=jnp.float32,
                            precision=_MATMUL_PRECISION)
 
@@ -1113,7 +1126,7 @@ def _warp_call_yaw2(src_rows, view_f32, wx, rmcm, *, width, height, true_w,
             (1, 3, tile_rows, TILE_COLS),
             lambda vtx, ty, rmcm: (vtx // n_tx, 0, ty, vtx % n_tx)),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, win_rows, win_cols), jnp.float32),
+            pltpu.VMEM((2, 3, win_rows, win_cols), src_rows.dtype),
             pltpu.VMEM((3, tile_rows, TILE_COLS), jnp.float32),
             pltpu.VMEM((3, win_rows, TILE_COLS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1919,10 +1932,14 @@ def _planar_width(src_w: int, max_win_cols: int = TILT_WIN_COLS) -> int:
 
 
 def _planarize_kernel(rows_ref, out_ref, *, scale: float):
-    """(BR, 3·BC) interleaved-RGB rows → (3, BR, BC) planar f32 block.
+    """(BR, 3·BC) interleaved-RGB rows → (3, BR, BC) planar block.
 
     ``scale`` fuses the uint8/uint16 normalization into the layout move,
-    so integer video frames never materialize an interleaved f32 copy."""
+    so integer video frames never materialize an interleaved f32 copy.
+    A uint8 ``out_ref`` keeps the source bytes verbatim (the de-interleave
+    runs in i32) — the warp kernels that opt into u8 windows fold the /255
+    into their precomputed weights and quarter their window DMA traffic."""
+    u8_out = out_ref.dtype == jnp.uint8
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_COLS), 1)
     br = rows_ref.shape[0]
     bc = out_ref.shape[2]
@@ -1934,7 +1951,9 @@ def _planarize_kernel(rows_ref, out_ref, *, scale: float):
                 for b in range(3 * ob, 3 * ob + 3):
                     raw_blk = rows_ref[r0:r0 + 8,
                                        b * TILE_COLS:(b + 1) * TILE_COLS]
-                    if raw_blk.dtype != jnp.float32:
+                    if u8_out:
+                        raw_blk = raw_blk.astype(jnp.int32)
+                    elif raw_blk.dtype != jnp.float32:
                         # Mosaic has no direct u8->f32 cast; go via i32
                         raw_blk = raw_blk.astype(jnp.int32) \
                             .astype(jnp.float32)
@@ -1942,17 +1961,49 @@ def _planarize_kernel(rows_ref, out_ref, *, scale: float):
                         raw_blk,
                         jnp.clip(src_lane - b * TILE_COLS, 0,
                                  TILE_COLS - 1), axis=1)
-                    gb = jnp.where((src_lane // TILE_COLS) == b, gb, 0.0)
+                    gb = jnp.where((src_lane // TILE_COLS) == b, gb,
+                                   0 if u8_out else 0.0)
                     g = gb if g is None else g + gb
-                if scale != 1.0:
+                if u8_out:
+                    g = g.astype(jnp.uint8)
+                elif scale != 1.0:
                     g = g * scale
                 out_ref[c, r0:r0 + 8,
                         ob * TILE_COLS:(ob + 1) * TILE_COLS] = g
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _planarize_rows(padded, scale=1.0, interpret=False):
-    """Seam-padded f32 rows (H, W'·3) → planar (3, H, W') on device.
+def _planarize_mxu_kernel(rows_ref, p_ref, out_ref, *, scale: float):
+    """(BR, 3·BC) u8 rows → (3, BR, BC) planar block via the MXU.
+
+    The RGB de-interleave is a fixed permutation, so it runs as a one-hot
+    matmul: ``raw @ P`` where P[i, c·BC+j] = (i == 3j+c). u8 values are
+    exact in bf16 and each output is exactly one input (one-hot rows), so
+    the result is exact. 384 MACs/element on the MXU replace ~9 VPU
+    shuffle/select ops/element — measured 2.5× faster at 8K width."""
+    raw = rows_ref[...].astype(jnp.int32).astype(jnp.float32) \
+        .astype(jnp.bfloat16)
+    prod = jnp.dot(raw, p_ref[...], preferred_element_type=jnp.float32)
+    bc = out_ref.shape[2]
+    for c in range(3):
+        blk = prod[:, c * bc:(c + 1) * bc]
+        if out_ref.dtype == jnp.uint8:
+            out_ref[c] = blk.astype(jnp.int32).astype(jnp.uint8)
+        else:
+            out_ref[c] = blk * scale
+
+
+@functools.lru_cache(maxsize=2)
+def _planarize_perm(bc: int):
+    p = np.zeros((3 * bc, 3 * bc), np.float32)
+    for c in range(3):
+        p[np.arange(bc) * 3 + c, c * bc + np.arange(bc)] = 1.0
+    return p.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret",
+                                             "out_dtype"))
+def _planarize_rows(padded, scale=1.0, interpret=False, out_dtype=None):
+    """Seam-padded rows (H, W'·3) → planar (3, H, W') on device.
 
     One pass over the source frame. Windows the warp kernels read overlap
     ~4× at production slopes, so de-interleaving at the frame (not inside
@@ -1963,12 +2014,31 @@ def _planarize_rows(padded, scale=1.0, interpret=False):
     """
     h, w3 = padded.shape
     wp = w3 // 3
-    BR = 64 if h % 64 == 0 else 8
     BC = 384
     n_bc = wp // BC
+    if padded.dtype == jnp.uint8 and h % 128 == 0:
+        # u8 sources on full-height frames: MXU one-hot permutation
+        BR = 128
+        return pl.pallas_call(
+            functools.partial(_planarize_mxu_kernel, scale=scale),
+            out_shape=jax.ShapeDtypeStruct((3, h, wp),
+                                           out_dtype or jnp.float32),
+            grid=(h // BR, n_bc),
+            in_specs=[
+                pl.BlockSpec((BR, 3 * BC), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * BC, 3 * BC), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((3, BR, BC), lambda i, j: (0, i, j),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(padded, jnp.asarray(_planarize_perm(BC)))
+    BR = 64 if h % 64 == 0 else 8
     return pl.pallas_call(
         functools.partial(_planarize_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((3, h, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, h, wp),
+                                       out_dtype or jnp.float32),
         grid=(h // BR, n_bc),
         in_specs=[pl.BlockSpec((BR, 3 * BC), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)],
@@ -1978,24 +2048,32 @@ def _planarize_rows(padded, scale=1.0, interpret=False):
     )(padded)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "max_win_cols"))
+@functools.partial(jax.jit, static_argnames=("interpret", "max_win_cols",
+                                             "keep_u8"))
 def _planar_source(src_rows, interpret=False,
-                   max_win_cols: int = TILT_WIN_COLS):
-    """(H, W·3) interleaved rows → seam-padded planar (3, H8, W'') f32.
+                   max_win_cols: int = TILT_WIN_COLS, keep_u8=False):
+    """(H, W·3) interleaved rows → seam-padded planar (3, H8, W'').
 
     W'' = W + WIN_COLS rounded up to a 384-lane multiple (wrap-padded —
     windows never read past W + WIN_COLS); H8 = H rounded up to a sublane
     multiple (replicated rows — the window row clamp keeps them unread).
-    uint8/uint16 inputs normalize to [0,1] here. One Mosaic pass; see
-    :func:`_planarize_rows` for why the layout move lives in a kernel.
+    uint8/uint16 inputs normalize to [0,1] here — unless ``keep_u8`` and
+    the source is uint8, in which case the planar copy stays u8 (4× less
+    window DMA for kernels that fold /255 into their resample weights).
+    One Mosaic pass; see :func:`_planarize_rows` for why the layout move
+    lives in a kernel.
     """
     h, w3 = src_rows.shape
     w = w3 // 3
     # seam-pad in the SOURCE dtype: for uint8 video the padded copy is 4x
     # smaller than f32, and the normalization fuses into the planarize
     # kernel's layout move
+    out_dtype = None
     if src_rows.dtype == jnp.uint8:
-        scale = 1.0 / 255.0
+        if keep_u8:
+            scale, out_dtype = 1.0, jnp.uint8
+        else:
+            scale = 1.0 / 255.0
     elif src_rows.dtype == jnp.uint16:
         scale = 1.0 / 65535.0
     else:
@@ -2010,7 +2088,8 @@ def _planar_source(src_rows, interpret=False,
         fill = jnp.broadcast_to(padded[h - 1:h, :],
                                 ((-h) % 8, target_w * 3))
         padded = jnp.concatenate([padded, fill], axis=0)
-    return _planarize_rows(padded, scale=scale, interpret=interpret)
+    return _planarize_rows(padded, scale=scale, interpret=interpret,
+                           out_dtype=out_dtype)
 
 
 def _as_source_rows(src):
@@ -2151,8 +2230,13 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
         pad_cols = TILT_WIN_COLS
     else:
         pad_cols = max([WIN_COLS] + [b.win_cols for b in yaw_budgets])
+    # pure-yaw uint8 sets keep the planar copy in u8: window DMA (the
+    # yaw kernel's dominant HBM term) drops 4x, and the /255 rides the
+    # precomputed wx weights so numerics are unchanged
+    u8_windows = (src_rows.dtype == jnp.uint8 and bool(yaw_budgets)
+                  and not (narrow_budgets or tilt_budgets or wide_budgets))
     planar_src = _planar_source(src_rows, interpret=interpret,
-                                max_win_cols=pad_cols)
+                                max_win_cols=pad_cols, keep_u8=u8_windows)
 
     def crop(arr):
         return arr[:, :, :height, :width] \
@@ -2162,14 +2246,15 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
         win_rows_yaw = max(b.win_rows for b in yaw_budgets)
         win_cols_yaw = max(b.win_cols for b in yaw_budgets)
         yaw_yaws = tuple(float(yaws[i]) for i in yaw_idx)
+        wscale = (1.0 / 255.0) if u8_windows else 1.0
         tkey = ("yawv2", yaw_yaws, float(hfov_deg), float(vfov_deg),
                 out_w, out_h_yaw, width, height, src_w, src_h,
-                win_rows_yaw, win_cols_yaw, interp)
+                win_rows_yaw, win_cols_yaw, interp, wscale)
         wx_tab, rmcm_tab = _yaw_tables_device(
             tkey, yaw_yaws, hfov_deg, vfov_deg, out_w=out_w,
             out_h=out_h_yaw, true_w=width, true_h=height, src_w=src_w,
             src_h=src_h, win_rows=win_rows_yaw, tile_rows=YAW_TILE_ROWS,
-            interp=interp, win_cols=win_cols_yaw)
+            interp=interp, win_cols=win_cols_yaw, weight_scale=wscale)
         parts.append(crop(_warp_call_yaw2(
             planar_src, view_table(yaw_budgets), wx_tab, rmcm_tab,
             width=out_w, height=out_h_yaw, true_w=width, true_h=height,
