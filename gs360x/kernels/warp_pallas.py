@@ -1824,6 +1824,623 @@ def _warp_call_wide2(src_rows, view_f32, tab, *, width, height, true_w,
 
 
 # --------------------------------------------------------------------------
+# Wide v3: de-sheared windows, fully-SIMD resample (no chunk loop)
+# --------------------------------------------------------------------------
+#
+# wide2's inner loop iterates 8-row window chunks per (group, block) because
+# a tilted view's vertical tap positions span ~50-150 source rows across a
+# tile (the warp's local shear), and Mosaic sublane gathers cannot cross
+# vreg boundaries.  That loop visits every chunk for every (row, tap) with
+# per-lane masks — ~20% utilization.  v3 removes it: the planner computes,
+# per (tile, block, source COLUMN), an 8-aligned row offset ``cs`` such
+# that the rows any output pixel taps at that column fit a small RESIDUAL
+# window of ``resid_rows`` (16..56) starting at ``rm + 8*cs``.  The kernel
+# builds ``vsel[s, j] = win[8*cs_j + s, j]`` once per block (a static
+# select chain over window chunks), after which EVERY step is a full
+# (8, 128)-vreg SIMD op: tap columns move data to output lanes with one
+# hardware lane-gather per residual vreg (tpu.dynamic_gather, per-sublane
+# independent), the per-pixel residual vreg is picked with a short select
+# chain, and the 4 vertical taps are per-lane hardware sublane-gathers.
+# No per-row loops, no masked chunk sweeps.  Measured as the replacement
+# for wide2 on the full360coverage pitched class (see STATUS.md).
+#
+# Exactness: vsel is a row permutation of the window; tap rows/cols and
+# weights are identical to the XLA twin's.  Each tap row is clamped to
+# [0, src_h-1] BEFORE conversion to residual space (the twin's border
+# semantics); the planner validates per-column that every CLAMPED tap
+# fits its residual window, so in-kernel residual indices stay in
+# [0, RS-1] wherever the weight is nonzero.
+
+WIDE3_RESID_CLASSES = (16, 24, 32, 40, 48, 56, 64)
+WIDE3_SHEAR_CLASSES = (4, 8, 16, 24)
+
+
+@functools.lru_cache(maxsize=1024)
+def _wide3_plan_view(width: int, height: int, hfov_deg: float,
+                     vfov_deg: float, yaw_deg: float, pitch_deg: float,
+                     roll_deg: float, src_w: int, src_h: int,
+                     true_w: int, true_h: int, projection: str,
+                     interp: str):
+    """Exact f64 plan for the wide-v3 kernel.
+
+    Returns ``(win_rows, resid_rows, max_rounds, shear_span, tab, cs)``
+    or ``None``.  ``shear_span`` bounds the per-8-row-group horizontal
+    shear span ``max(x0) - min(x0)`` (per column) over the whole view
+    (padded +4 for the kernel's f32-vs-f64 floor jitter and rounded into
+    classes) — it sizes the kernel's static extended tap sweep; the
+    sweep ORIGIN is the group's in-kernel ``min(dx)``, so runtime cost
+    tracks each tile's actual shear, not the view's worst tile.
+    ``tab`` is (n_tiles, 3 + MB) i32: [b0, nblk, anchor, rm_0..rm_{MB-1}]
+    with MB = max_rounds * WIDE2_BPR; ``cs`` is (n_tiles, MB, 128) i32 —
+    per (tile, block, in-block source column) the 8-aligned chunk offset
+    of the de-sheared residual window (relative to the block's ``rm``).
+    Planning mirrors :func:`_wide2_plan_view` (anchored seam unwrap,
+    valid-masked stats) and adds per-column tap-row extrema so that
+    ``resid_rows`` is the smallest class covering every column's taps.
+    """
+    if width % TILE_COLS or height % TILE_ROWS:
+        return None
+    n_taps = 4 if interp in ("bicubic", "catmull-rom") else 2
+    koff = -1 if n_taps == 4 else 0
+    rot = _rot_matrix(yaw_deg, pitch_deg, roll_deg)
+    u, v = _np_view_coords_strided(width, height, hfov_deg, vfov_deg, rot,
+                                   src_w, src_h, stride=1, true_w=true_w,
+                                   true_h=true_h, projection=projection)
+    w = float(src_w)
+    u = np.mod(u, w)
+    vcl = np.clip(v, 0.0, src_h - 1.0)
+    if projection == "perspective":
+        valid = np.ones_like(u, dtype=bool)
+    else:
+        xs = (2.0 * np.arange(width) + 1.0) / true_w - 1.0
+        ys = (2.0 * np.arange(height) + 1.0) / true_h - 1.0
+        nxg, nyg = np.meshgrid(xs, ys)
+        valid = np.hypot(nxg, nyg) <= 1.0
+    pad_w = _planar_width(src_w)
+    n_ty, n_tx = height // TILE_ROWS, width // TILE_COLS
+    n_tiles = n_ty * n_tx
+    uc = u.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
+    vc = vcl.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
+    vm4 = valid.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
+    plain_anchor = src_w // 2 + 4
+
+    # pass 1: per-tile blocks + per-(block, column) tap-row extrema
+    tile_rows: list = []          # (b0, nblk, anchor, [rm_b], [stats_b])
+    span_max = 0.0
+    colspan_max = 0
+    nblk_max = 1
+    shear_span = 0
+    for ty in range(n_ty):
+        for tx in range(n_tx):
+            ut = uc[ty, :, tx, :]
+            vt = vc[ty, :, tx, :]
+            mt = vm4[ty, :, tx, :]
+            if not mt.any():
+                tile_rows.append((0, 0, plain_anchor, [], []))
+                continue
+            ang = ut[mt] * (2.0 * math.pi / w)
+            anchor = math.atan2(np.sin(ang).mean(),
+                                np.cos(ang).mean()) * w / (2.0 * math.pi)
+            anchor = float(np.mod(anchor, w))
+            for try_anchor in (anchor, float(plain_anchor)):
+                ua = try_anchor + np.mod(ut - try_anchor + w / 2.0, w) \
+                    - w / 2.0
+                uam = ua[mt]
+                lo = int(np.floor(uam.min())) - 2
+                hi = int(np.floor(uam.max())) + 3
+                if lo < 0:
+                    try_anchor += w
+                    ua = ua + w
+                    lo += src_w
+                    hi += src_w
+                if hi < pad_w - 1:
+                    break
+            else:
+                return None
+            b0 = lo // 128
+            nblk = hi // 128 - b0 + 1
+            nblk_max = max(nblk_max, nblk)
+            x0 = np.floor(ua).astype(np.int64)
+            y0 = np.floor(vt).astype(np.int64)
+            # per-8-row-group horizontal shear span (per column) —
+            # bounds the kernel's extended tap sweep
+            for g0 in range(0, TILE_ROWS, 8):
+                xg = x0[g0:g0 + 8]
+                shear_span = max(shear_span,
+                                 int((xg.max(0) - xg.min(0)).max()))
+            # per-x0-column y0 extrema over valid pixels (scatter once,
+            # then a width-n_taps sliding min/max gives per-TAP-column
+            # extrema: column j is tapped by pixels with
+            # x0 in [j - koff - (n_taps-1), j - koff])
+            c_lo, c_hi = b0 * 128, (b0 + nblk) * 128
+            ncols = c_hi - c_lo
+            miny = np.full(ncols + n_taps, np.iinfo(np.int64).max)
+            maxy = np.full(ncols + n_taps, np.iinfo(np.int64).min)
+            # column j is tapped by px with x0 in [j-koff-(n_taps-1),
+            # j-koff]; storing y0 stats at q + (n_taps-1) + koff (with
+            # q = x0 - c_lo) lets a forward sliding min/max of width
+            # n_taps at offset j read exactly that x0 range
+            xr = x0[mt] - c_lo + (n_taps - 1) + koff
+            # x0 + koff >= lo >= c_lo, so xr >= 0; guard anyway
+            xr = np.clip(xr, 0, ncols + n_taps - 1)
+            np.minimum.at(miny, xr, y0[mt])
+            np.maximum.at(maxy, xr, y0[mt])
+            mn = miny[:ncols]
+            mx = maxy[:ncols]
+            for s in range(1, n_taps):
+                mn = np.minimum(mn, miny[s:ncols + s])
+                mx = np.maximum(mx, maxy[s:ncols + s])
+            has = mn <= mx
+            mn_tap = np.where(has, np.maximum(mn + koff, 0), 0)
+            mx_tap = np.where(
+                has, np.minimum(mx + koff + n_taps - 1, src_h - 1), -1)
+            colspan_max = max(
+                colspan_max,
+                int((mx_tap - mn_tap)[has].max()) if has.any() else 0)
+            rms = []
+            stats = []
+            for b in range(nblk):
+                bcol = (b0 + b) * 128
+                m = mt & (x0 + (n_taps - 1) + koff >= bcol) \
+                    & (x0 + koff < bcol + 128)
+                if not m.any():
+                    rms.append(0)
+                else:
+                    vb = vt[m]
+                    span_max = max(span_max,
+                                   float(vb.max() - vb.min()))
+                    rms.append(
+                        (max(0, int(np.floor(vb.min())) - V_MARGIN)
+                         // 8) * 8)
+                sl = (bcol - c_lo)
+                stats.append((mn_tap[sl:sl + 128].copy(),
+                              mx_tap[sl:sl + 128].copy(),
+                              has[sl:sl + 128].copy()))
+            tile_rows.append((b0, nblk, int(round(try_anchor)), rms,
+                              stats))
+
+    need = span_max + 2 * V_MARGIN
+    win_rows = None
+    for r in WIDE2_ROW_CLASSES:
+        if r > src_h:
+            continue
+        if need <= r - 9:
+            win_rows = r
+            break
+    if win_rows is None:
+        return None
+    resid_rows = None
+    for rs in WIDE3_RESID_CLASSES:
+        if rs <= win_rows and colspan_max <= rs - 8:
+            resid_rows = rs
+            break
+    if resid_rows is None:
+        return None
+    # shear class: +4 pad for kernel f32 floor jitter (x0 and the
+    # in-kernel min both wobble +-1 vs the f64 plan), rounded up to
+    # limit recompiles; views shearing past the cap fall back to wide2
+    span_cls = None
+    for cls in WIDE3_SHEAR_CLASSES:
+        if shear_span + 4 <= cls:
+            span_cls = cls
+            break
+    if span_cls is None:
+        return None
+    max_rounds = -(-nblk_max // WIDE2_BPR)
+    mb = max_rounds * WIDE2_BPR
+    rm_cap = ((src_h - win_rows) // 8) * 8
+    cs_cap = (win_rows - resid_rows) // 8
+
+    tab = np.zeros((n_tiles, 3 + mb), np.int32)
+    cs = np.zeros((n_tiles, mb, 128), np.int32)
+    for t, (b0, nblk, anchor, rms, stats) in enumerate(tile_rows):
+        tab[t, 0] = b0
+        tab[t, 1] = nblk
+        tab[t, 2] = anchor
+        for b in range(nblk):
+            rm = min(rms[b], rm_cap)
+            tab[t, 3 + b] = rm
+            mn_tap, mx_tap, has = stats[b]
+            csb = np.clip((mn_tap - rm) // 8, 0, cs_cap)
+            # validated: taps must fit the residual window.  cs at the
+            # ceiling still covers rm + [8*cs, 8*cs + RS) = window top.
+            bad = has & (mx_tap > rm + 8 * csb + resid_rows - 1)
+            if bad.any():
+                return None
+            cs[t, b] = np.where(has, csb, 0)
+    return win_rows, resid_rows, max_rounds, span_cls, tab, cs
+
+
+_WIDE3_DEV_CACHE: dict = {}
+
+
+def _wide3_tables_device(key, tabs: List[np.ndarray],
+                         css: List[np.ndarray], mb: int):
+    """Concatenate per-view (tab, cs) across views, pad to a common MB,
+    and cache on device keyed by geometry."""
+    cache_key = (key, jax.default_backend())
+    hit = _WIDE3_DEV_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    tab_rows = []
+    cs_rows = []
+    for tab, cs in zip(tabs, css):
+        n_t, w_t = tab.shape
+        if w_t - 3 < mb:
+            tab = np.concatenate(
+                [tab, np.zeros((n_t, mb - (w_t - 3)), np.int32)], axis=1)
+            cs = np.concatenate(
+                [cs, np.zeros((n_t, mb - cs.shape[1], 128), np.int32)],
+                axis=1)
+        tab_rows.append(tab)
+        cs_rows.append(cs)
+    val = (jnp.asarray(np.concatenate(tab_rows, axis=0).T.copy()),
+           jnp.asarray(np.concatenate(cs_rows, axis=0)))
+    if len(_WIDE3_DEV_CACHE) > 16:
+        _WIDE3_DEV_CACHE.clear()
+    _WIDE3_DEV_CACHE[cache_key] = val
+    return val
+
+
+def _build_vsel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
+                resid_rows: int):
+    """De-sheared residual window for one block: a [ch][vv] list of
+    (8, 128) vregs with ``vsel[ch][vv][s, j] = win[8*(cs_j+vv)+s, j]``.
+
+    One static select chain over the window's 8-row chunks; the compare
+    masks depend only on ``cs_j + vv`` so they are shared across
+    channels.  ``bi_lane0``: the block's lane offset inside win_raw."""
+    ncs = (win_rows - resid_rows) // 8
+    nvv = resid_rows // 8
+    masks = [csb == cval for cval in range(1, ncs + 1)]
+    vsel = []
+    for c in range(3):
+        per_vv = []
+        for vv in range(nvv):
+            tgt = win_raw[slot, c, vv * 8:(vv + 1) * 8,
+                          bi_lane0:bi_lane0 + TILE_COLS]
+            if tgt.dtype != jnp.float32:
+                tgt = tgt.astype(jnp.int32).astype(jnp.float32)
+            for cval in range(1, ncs + 1):
+                chunk = cval + vv
+                data = win_raw[slot, c, chunk * 8:(chunk + 1) * 8,
+                               bi_lane0:bi_lane0 + TILE_COLS]
+                if data.dtype != jnp.float32:
+                    data = data.astype(jnp.int32).astype(jnp.float32)
+                tgt = jnp.where(masks[cval - 1], data, tgt)
+            per_vv.append(tgt)
+        vsel.append(per_vv)
+    return vsel
+
+
+def _resample_tile_wide3(vsel, csb, bcol_local, x0, hw, y0, vw, rm_b, acc,
+                         *, resid_rows: int, n_taps: int, koff: int,
+                         src_h: int, shear_span: int):
+    """Accumulate one de-sheared block into the output tile — every op a
+    full (8, 128) vreg.
+
+    The lane gather that moves residual-window columns to output lanes
+    MUST use a row-invariant column index: the vertical taps afterwards
+    are per-lane SUBLANE gathers, and a sublane only holds the right
+    column if every sublane of the gathered vreg was fetched from the
+    same source column.  Tilted views shear horizontally (x0 varies down
+    an 8-row group), so the tap columns are anchored at the group's row
+    3 (``jb``) and the per-row shear ``dx = x0 - jb`` is folded into an
+    extended tap-position sweep ORIGINATING at the group's in-kernel
+    ``min(dx)``: iteration ``k2`` serves source column
+    ``jb + min(dx) + k2 + koff``, and each row picks the cubic weight
+    ``hw[k2 - (dx - min(dx))]`` via a short select chain (zero where no
+    tap of that row lands on this column).  ``shear_span`` bounds the
+    static sweep; the in-kernel span gates the iterations a given
+    (group, block) doesn't need, so runtime tracks the TILE's actual
+    shear, not the view's worst tile."""
+    nvv = resid_rows // 8
+    n_groups = TILE_ROWS // 8
+    n_k2 = n_taps + shear_span
+    for g in range(n_groups):
+        rows = slice(g * 8, (g + 1) * 8)
+        y0g = y0[rows]
+        x0g = x0[rows]
+        jb = jnp.broadcast_to(x0g[3:4, :], (8, TILE_COLS))
+        dx = x0g - jb
+        dx_lo = jnp.min(dx)
+        dx_hi = jnp.max(dx)
+        dxr = dx - dx_lo                      # in [0, span]
+        for k2 in range(n_k2):
+            # iteration k2 contributes iff some (row, tap) lands on its
+            # column: k2 in [0, (dx_hi - dx_lo) + n_taps - 1]
+            @pl.when(k2 <= (dx_hi - dx_lo) + (n_taps - 1))
+            def _(k2=k2):
+                xi = jb + dx_lo + (k2 + koff)     # row-invariant column
+                j = xi - bcol_local
+                inb = (j >= 0) & (j < TILE_COLS)
+                jc = jnp.clip(j, 0, TILE_COLS - 1)
+                csk = jnp.take_along_axis(csb, jc, axis=1)
+                off = rm_b + 8 * csk      # residual-window origin (abs)
+                wsel = jnp.zeros((8, TILE_COLS), jnp.float32)
+                for kk in range(n_taps):
+                    wsel = jnp.where(dxr == (k2 - kk),
+                                     hw[kk][rows], wsel)
+                whk = jnp.where(inb, wsel, 0.0)
+                # per-tap residual rows (shared across channels): each
+                # tap row is clamped to [0, src_h-1] like the twin BEFORE
+                # conversion to residual space — the planner's validation
+                # (clamped mn/mx per tap column) then guarantees r_m in
+                # [0, RS-1] wherever the weight is nonzero, with off == 0
+                # wherever the top clamp binds.  The residual VREG id
+                # (q = r_m >> 3) varies per pixel, so the vreg select
+                # must happen AFTER the per-lane sublane gather — never
+                # before (cross-sublane index mixing).
+                rms, qs = [], []
+                for m in range(n_taps):
+                    r_m = jnp.clip(y0g + koff + m, 0, src_h - 1) - off
+                    rms.append(r_m)
+                    qs.append(jnp.clip(r_m, 0, resid_rows - 1) // 8)
+                for c in range(3):
+                    gs = [jnp.take_along_axis(vsel[c][vv], jc, axis=1)
+                          for vv in range(nvv)]
+                    val = None
+                    for m in range(n_taps):
+                        gm = None
+                        for vv in range(nvv):
+                            gv = jnp.take_along_axis(
+                                gs[vv],
+                                jnp.clip(rms[m] - 8 * vv, 0, 7), axis=0)
+                            gm = gv if gm is None else \
+                                jnp.where(qs[m] == vv, gv, gm)
+                        term = gm * vw[m][rows]
+                        val = term if val is None else val + term
+                    # pl.when bodies may only mutate refs — accumulate
+                    # straight into the VMEM scratch
+                    acc[c, rows, :] = acc[c, rows, :] + val * whk
+
+
+def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
+                       view_f32_ref,     # (V, 16) f32 SMEM
+                       src_hbm,          # (3, H8, W'') planar HBM
+                       cs_hbm,           # (n_tiles, MB, 128) i32 VMEM blk
+                       out_ref,          # (1, 3, TILE_ROWS, 128)
+                       win_raw,          # scratch (3, 3, R, BPR*128)
+                       acc,              # scratch (3, TILE_ROWS, 128)
+                       sems,             # DMA semaphores (3, BPR)
+                       *, interp: str, win_rows: int, resid_rows: int,
+                       shear_span: int,
+                       src_w: int, src_h: int, geo_w: int, geo_h: int,
+                       n_tiles_x: int, tiles_per_view: int,
+                       projection: str, mb: int):
+    """Wide-window warp v3 (see the section comment above).  DMA plan
+    (per-(tile, block) windows, round-0 double-buffered across tiles,
+    rare overflow rounds single-buffered) is wide2's; the resample is the
+    de-sheared fully-SIMD form."""
+    R = win_rows
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    def tile_tab(tt):
+        return tab_ref[0, tt], tab_ref[1, tt]     # b0, nblk
+
+    b0_t, nblk_t = tile_tab(t)
+    rounds_t = (nblk_t + WIDE2_BPR - 1) // WIDE2_BPR
+
+    def dma_blk(slot, tt, bi, b):
+        """Fetch block ``b`` (table row origin) into win_raw lane slot
+        ``bi``; ``b`` may be traced (overflow rounds)."""
+        b0n, _ = tile_tab(tt)
+        rm = pl.multiple_of((tab_ref[3 + b, tt] // 8) * 8, 8)
+        bcol = pl.multiple_of((b0n + b) * 128, 128)
+        return pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(rm, R), pl.ds(bcol, 128)],
+            win_raw.at[slot, :, :, pl.ds(bi * 128, 128)],
+            sems.at[slot, bi])
+
+    def start_r0(slot, tt):
+        _, nblk_n = tile_tab(tt)
+        for bi in range(WIDE2_BPR):
+            @pl.when(bi < nblk_n)
+            def _(bi=bi):
+                dma_blk(slot, tt, bi, bi).start()
+
+    slot0 = t % 2
+
+    @pl.when(t == 0)
+    def _():
+        start_r0(0, 0)
+
+    # ---- geometry (identical ray math to wide v1/v2) ----
+    view_id = t // tiles_per_view
+    within = t - view_id * tiles_per_view
+    ty = within // n_tiles_x
+    tx = within - ty * n_tiles_x
+    r00 = view_f32_ref[view_id, 0]
+    r01 = view_f32_ref[view_id, 1]
+    r02 = view_f32_ref[view_id, 2]
+    r10 = view_f32_ref[view_id, 3]
+    r11 = view_f32_ref[view_id, 4]
+    r12 = view_f32_ref[view_id, 5]
+    r20 = view_f32_ref[view_id, 6]
+    r21 = view_f32_ref[view_id, 7]
+    r22 = view_f32_ref[view_id, 8]
+    tanh = view_f32_ref[view_id, 9]
+    tanv = view_f32_ref[view_id, 10]
+
+    jj = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_ROWS, TILE_COLS), 1).astype(jnp.float32)
+    ii = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_ROWS, TILE_COLS), 0).astype(jnp.float32)
+    px = (tx * TILE_COLS).astype(jnp.float32) + jj
+    py = (ty * TILE_ROWS).astype(jnp.float32) + ii
+    nx = (2.0 * px + 1.0) / geo_w - 1.0
+    ny = (2.0 * py + 1.0) / geo_h - 1.0
+    if projection == "perspective":
+        nx = nx * tanh
+        ny = ny * tanv
+        inv_n = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
+        dx = nx * inv_n
+        dy = ny * inv_n
+        dz = inv_n
+        valid = None
+    else:
+        r = jnp.sqrt(nx * nx + ny * ny)
+        if projection == "fisheye_v360":
+            theta_f = r * tanh
+        else:
+            theta_f = 2.0 * _asin(jnp.clip(r * tanv, -1.0, 1.0))
+        valid = r <= 1.0
+        theta_f = jnp.clip(theta_f, 0.0, math.pi)
+        sin_t, cos_t = _sincos_0_pi(theta_f)
+        safe_r = jnp.where(r > 1e-12, r, 1.0)
+        dx = sin_t * (nx / safe_r)
+        dy = sin_t * (ny / safe_r)
+        dz = cos_t
+    wx = r00 * dx + r01 * dy + r02 * dz
+    wy = r10 * dx + r11 * dy + r12 * dz
+    wz = r20 * dx + r21 * dy + r22 * dz
+    phi = _atan2(wx, wz)
+    theta = _asin(jnp.clip(wy, -1.0, 1.0))
+    u = (phi / math.pi + 1.0) * (src_w / 2.0) - 0.5
+    v = (theta / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
+    anc = tab_ref[2, t].astype(jnp.float32)
+    u = anc + jnp.mod(u - anc + 0.5 * src_w, float(src_w)) - 0.5 * src_w
+    vcl = jnp.clip(v, 0.0, src_h - 1.0)
+
+    x0 = jnp.floor(u).astype(jnp.int32)
+    fx = u - jnp.floor(u)
+    y0 = jnp.floor(vcl).astype(jnp.int32)
+    fy = vcl - jnp.floor(vcl)
+    if interp in ("bicubic", "catmull-rom"):
+        hw = (_lagrange_weights(fx) if interp == "bicubic"
+              else _catmull_rom_weights(fx))
+        vw = (_lagrange_weights(fy) if interp == "bicubic"
+              else _catmull_rom_weights(fy))
+        koff = -1
+    else:
+        hw = _linear_weights(fx)
+        vw = _linear_weights(fy)
+        koff = 0
+    n_taps = len(hw)
+
+    for c in range(3):
+        acc[c] = jnp.zeros((TILE_ROWS, TILE_COLS), jnp.float32)
+
+    def block_cs(b):
+        """(8, 128) i32 chunk offsets for block ``b`` (may be traced)."""
+        row = cs_hbm[0, pl.ds(b, 1), :]
+        return jnp.broadcast_to(row.reshape(1, TILE_COLS),
+                                (8, TILE_COLS))
+
+    # ---- round 0 (double-buffered across tiles) ----
+    for bi in range(WIDE2_BPR):
+        @pl.when(bi < nblk_t)
+        def _(bi=bi):
+            dma_blk(slot0, t, bi, bi).wait()
+            rm_b = tab_ref[3 + bi, t]
+            csb = block_cs(bi)
+            vsel = _build_vsel(win_raw, slot0, bi * 128, csb,
+                               win_rows=R, resid_rows=resid_rows)
+            _resample_tile_wide3(
+                vsel, csb, (b0_t + bi) * 128, x0, hw, y0, vw, rm_b, acc,
+                resid_rows=resid_rows, n_taps=n_taps, koff=koff,
+                src_h=src_h, shear_span=shear_span)
+
+    @pl.when((rounds_t <= 1) & (t + 1 < n_t))
+    def _():
+        start_r0((t + 1) % 2, t + 1)
+
+    # ---- overflow rounds (rare: pole-adjacent / fisheye rim tiles) ----
+    if mb > WIDE2_BPR:
+        def round_body(rr, _):
+            for bi in range(WIDE2_BPR):
+                b = rr * WIDE2_BPR + bi
+
+                @pl.when(b < nblk_t)
+                def _(bi=bi, b=b):
+                    cp = dma_blk(2, t, bi, b)
+                    cp.start()
+                    cp.wait()
+            for bi in range(WIDE2_BPR):
+                b = rr * WIDE2_BPR + bi
+
+                @pl.when(b < nblk_t)
+                def _(bi=bi, b=b):
+                    rm_b = tab_ref[3 + b, t]
+                    csb = block_cs(b)
+                    vsel = _build_vsel(win_raw, 2, bi * 128, csb,
+                                       win_rows=R,
+                                       resid_rows=resid_rows)
+                    _resample_tile_wide3(
+                        vsel, csb, (b0_t + b) * 128, x0, hw, y0, vw,
+                        rm_b, acc, resid_rows=resid_rows, n_taps=n_taps,
+                        koff=koff, src_h=src_h, shear_span=shear_span)
+            return 0
+
+        jax.lax.fori_loop(1, rounds_t, round_body, 0)
+
+        @pl.when((rounds_t > 1) & (t + 1 < n_t))
+        def _():
+            start_r0((t + 1) % 2, t + 1)
+
+    if valid is None:
+        for c in range(3):
+            out_ref[0, c, :, :] = acc[c]
+    else:
+        vf = valid.astype(jnp.float32)
+        for c in range(3):
+            out_ref[0, c, :, :] = acc[c] * vf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "true_w", "true_h", "src_w",
+                     "src_h", "interp", "win_rows", "resid_rows",
+                     "shear_span",
+                     "n_views", "projection", "mb", "interpret"))
+def _warp_call_wide3(src_rows, view_f32, tab, cs, *, width, height,
+                     true_w, true_h, src_w, src_h, interp, win_rows,
+                     resid_rows, shear_span, n_views, mb,
+                     projection="perspective", interpret=False):
+    n_tiles_x = width // TILE_COLS
+    tiles_per_view = (height // TILE_ROWS) * n_tiles_x
+    n_tiles = tiles_per_view * n_views
+
+    kernel = functools.partial(
+        _warp_kernel_wide3, interp=interp, win_rows=win_rows,
+        resid_rows=resid_rows, shear_span=shear_span,
+        src_w=src_w, src_h=src_h, geo_w=true_w,
+        geo_h=true_h, n_tiles_x=n_tiles_x, tiles_per_view=tiles_per_view,
+        projection=projection, mb=mb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # view_f32
+            pl.BlockSpec(memory_space=pl.ANY),       # src stays in HBM
+            pl.BlockSpec((1, mb, 128), lambda t, tab: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, TILE_ROWS, TILE_COLS),
+            lambda t, tab: (t // tiles_per_view,
+                            0,
+                            (t % tiles_per_view) // n_tiles_x,
+                            (t % tiles_per_view) % n_tiles_x)),
+        scratch_shapes=[
+            pltpu.VMEM((3, 3, win_rows, WIDE2_BPR * TILE_COLS),
+                       src_rows.dtype),
+            pltpu.VMEM((3, TILE_ROWS, TILE_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, WIDE2_BPR)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_views, 3, height, width),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(tab, view_f32, src_rows, cs)
+
+
+# --------------------------------------------------------------------------
 # Public entry
 # --------------------------------------------------------------------------
 
@@ -2280,15 +2897,53 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
             n_views=len(tilt_budgets), win_cols=TILT_WIN_COLS,
             interpret=interpret)))
     if wide_budgets:
-        # wide v2 (per-tile-block windows) when every view's plan fits;
-        # v1 full-width windows as the conservative fallback
-        w2_plans = []
-        for i in wide_idx:
-            w2_plans.append(_wide2_plan_view(
-                out_w, out_h, float(hfov_deg), float(vfov_deg),
-                float(yaws[i]), float(pitches[i]), float(rolls[i]),
-                src_w, src_h, width, height, projection))
-        if all(p is not None for p in w2_plans):
+        # wide v3 (de-sheared windows, SIMD resample) when every view's
+        # plan fits; v2 per-tile-block windows next; v1 full-width
+        # windows as the conservative fallback
+        w3_plans = None
+        if _os.environ.get("GS360X_WIDE3", "1") != "0":
+            w3_plans = []
+            for i in wide_idx:
+                w3_plans.append(_wide3_plan_view(
+                    out_w, out_h, float(hfov_deg), float(vfov_deg),
+                    float(yaws[i]), float(pitches[i]), float(rolls[i]),
+                    src_w, src_h, width, height, projection, interp))
+            if not all(p is not None for p in w3_plans):
+                w3_plans = None
+        if w3_plans is not None:
+            win_rows_w3 = max(p[0] for p in w3_plans)
+            resid_w3 = max(p[1] for p in w3_plans)
+            mb_w3 = max(p[2] for p in w3_plans) * WIDE2_BPR
+            span_w3 = max(p[3] for p in w3_plans)
+            # clamp cs to the CALL-level chunk cap: safe (the residual
+            # window only grows downward within the call-level class)
+            cs_cap = (win_rows_w3 - resid_w3) // 8
+            tkey = ("widev3c",
+                    tuple((float(yaws[i]), float(pitches[i]),
+                           float(rolls[i])) for i in wide_idx),
+                    float(hfov_deg), float(vfov_deg), out_w, out_h,
+                    width, height, src_w, src_h, projection, interp,
+                    win_rows_w3, resid_w3, mb_w3)
+            tab3, cs3 = _wide3_tables_device(
+                tkey, [p[4] for p in w3_plans],
+                [np.minimum(p[5], cs_cap) for p in w3_plans], mb_w3)
+            parts.append(crop(_warp_call_wide3(
+                planar_src, view_table(wide_budgets), tab3, cs3,
+                width=out_w, height=out_h, true_w=width, true_h=height,
+                src_w=src_w, src_h=src_h, interp=interp,
+                win_rows=win_rows_w3, resid_rows=resid_w3,
+                shear_span=span_w3,
+                n_views=len(wide_budgets), mb=mb_w3,
+                projection=projection, interpret=interpret)))
+            w2_plans = None
+        else:
+            w2_plans = []
+            for i in wide_idx:
+                w2_plans.append(_wide2_plan_view(
+                    out_w, out_h, float(hfov_deg), float(vfov_deg),
+                    float(yaws[i]), float(pitches[i]), float(rolls[i]),
+                    src_w, src_h, width, height, projection))
+        if w2_plans is not None and all(p is not None for p in w2_plans):
             win_rows_w2 = max(p[0] for p in w2_plans)
             tkey = ("widev2",
                     tuple((float(yaws[i]), float(pitches[i]),
@@ -2302,7 +2957,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                 src_w=src_w, src_h=src_h, interp=interp,
                 win_rows=win_rows_w2, n_views=len(wide_budgets),
                 projection=projection, interpret=interpret)))
-        else:
+        elif w2_plans is not None:
             # v1 needs TILE-level row budgets — recompute them here (a
             # v2-classified view's per-block budget would undersize the
             # full-width window)

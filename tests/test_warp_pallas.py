@@ -279,3 +279,118 @@ class TestKernelTrigPolyfills:
         got = np.asarray(warp_pallas._asin(y))
         ref = np.arcsin(np.asarray(y, np.float64))
         assert np.abs(got - ref).max() < 2e-6
+
+
+class TestWide3Kernel:
+    """Wide v3 (de-sheared residual windows, row-invariant-column lane
+    gathers + per-pixel vreg select AFTER the sublane gather) — parity
+    against the XLA twin via a direct kernel call, plus planner gates.
+
+    Design regression this guards: lane gathers must use a row-invariant
+    column index (the horizontal shear is folded into an extended tap
+    sweep), and the residual-vreg select must happen after the vertical
+    sublane gather — both per-row-index formulations mix columns across
+    sublanes (0.8+ max error on any tilted view)."""
+
+    # narrow rejects nothing here — we call the wide3 kernel directly on
+    # a small tilted view (pitch 35, fov 40x18) that plans win=48
+    W, H, HF, VF = 128, 32, 40.0, 18.0
+    YPR = (20.0, 35.0, 0.0)
+
+    def _direct(self, interp):
+        import math
+        y, p, r = self.YPR
+        plan = warp_pallas._wide3_plan_view(
+            self.W, self.H, self.HF, self.VF, y, p, r, 512, 256,
+            self.W, self.H, "perspective", interp)
+        assert plan is not None
+        win_rows, resid_rows, max_rounds, span_cls, tab, cs = plan
+        assert resid_rows in warp_pallas.WIDE3_RESID_CLASSES
+        assert span_cls in warp_pallas.WIDE3_SHEAR_CLASSES
+        assert int(cs.max()) <= (win_rows - resid_rows) // 8
+        mb = max_rounds * warp_pallas.WIDE2_BPR
+        planar_src = warp_pallas._planar_source(
+            SRC.reshape(256, 512 * 3), interpret=True,
+            max_win_cols=warp_pallas.TILT_WIN_COLS)
+        rot = warp_pallas._rot_matrix(y, p, r)
+        table = np.zeros((1, 16), np.float32)
+        table[0, 0:9] = rot.astype(np.float32).reshape(-1)
+        table[0, 9] = math.tan(math.radians(self.HF) / 2.0)
+        table[0, 10] = math.tan(math.radians(self.VF) / 2.0)
+        tab3, cs3 = warp_pallas._wide3_tables_device(
+            ("test-w3", self.W, self.H, interp), [tab], [cs], mb)
+        out = warp_pallas._warp_call_wide3(
+            planar_src, jnp.asarray(table), tab3, cs3,
+            width=self.W, height=self.H, true_w=self.W, true_h=self.H,
+            src_w=512, src_h=256, interp=interp, win_rows=win_rows,
+            resid_rows=resid_rows, shear_span=span_cls, n_views=1,
+            mb=mb, projection="perspective", interpret=True)
+        # planar (1, 3, H, W) -> HWC
+        return np.transpose(np.asarray(out), (0, 2, 3, 1))
+
+    @pytest.mark.parametrize("interp", ["bicubic", "bilinear"])
+    def test_tilted_view_matches_xla(self, interp):
+        y, p, r = self.YPR
+        ref = np.asarray(warp.warp_equirect_to_views(
+            SRC, np.array([y], np.float32), np.array([p], np.float32),
+            np.array([r], np.float32), interp=interp, backend="xla",
+            width=self.W, height=self.H, hfov_deg=self.HF,
+            vfov_deg=self.VF))
+        out = self._direct(interp)
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_grazing_pole_falls_back_to_wide2(self):
+        # pole-grazing shear exceeds the wide3 span cap; the planner
+        # declines and the dispatch serves the view on wide2 — which
+        # must include the twin's BOTTOM tap-row clamp (v ~ src_h-1)
+        kw = dict(width=256, height=32, hfov_deg=60.0, vfov_deg=22.0)
+        assert warp_pallas._wide3_plan_view(
+            256, 32, 60.0, 22.0, 20.0, -82.0, 0.0, 512, 256, 256, 32,
+            "perspective", "bicubic") is None
+        ref = np.asarray(warp.warp_equirect_to_views(
+            SRC, np.array([20.0], np.float32),
+            np.array([-82.0], np.float32), np.array([0.0], np.float32),
+            interp="bicubic", backend="xla", **kw))
+        out = warp_pallas.warp_equirect_to_views_pallas(
+            SRC, np.array([20.0]), np.array([-82.0]), np.array([0.0]),
+            interp="bicubic", interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+    def test_plan_view_budget_vs_emulated_taps(self):
+        # planner invariant on a non-trivial tilted geometry: for every
+        # (tile, block, column) the CLAMPED tap extrema fit the residual
+        # window [rm + 8*cs, rm + 8*cs + RS)
+        plan = warp_pallas._wide3_plan_view(
+            128, 128, 100.0, 100.0, 20.0, 35.0, 0.0, 512, 256, 128, 128,
+            "perspective", "bicubic")
+        assert plan is not None
+        win_rows, resid_rows, _, _, tab, cs = plan
+        rot = warp_pallas._rot_matrix(20.0, 35.0, 0.0)
+        u, v = warp_pallas._np_view_coords_strided(
+            128, 128, 100.0, 100.0, rot, 512, 256, stride=1,
+            true_w=128, true_h=128, projection="perspective")
+        vcl = np.clip(v, 0.0, 255.0)
+        y0 = np.floor(vcl).astype(np.int64)
+        TR, TC = warp_pallas.TILE_ROWS, warp_pallas.TILE_COLS
+        n_tx = 128 // TC
+        for t in range(tab.shape[0]):
+            ty, tx = divmod(t, n_tx)
+            b0, nblk, anc = tab[t, 0], tab[t, 1], tab[t, 2]
+            ut = u[ty * TR:(ty + 1) * TR, tx * TC:(tx + 1) * TC]
+            ua = anc + np.mod(ut - anc + 256.0, 512.0) - 256.0
+            x0 = np.floor(ua).astype(np.int64)
+            y0t = y0[ty * TR:(ty + 1) * TR, tx * TC:(tx + 1) * TC]
+            for b in range(nblk):
+                rm = int(tab[t, 3 + b])
+                bcol = (b0 + b) * 128
+                for k in range(4):
+                    xi = x0 + (k - 1)
+                    m = (xi >= bcol) & (xi < bcol + 128)
+                    if not m.any():
+                        continue
+                    j = xi[m] - bcol
+                    lo = rm + 8 * cs[t, b][j]
+                    taps_lo = np.clip(y0t[m] - 1, 0, 255)
+                    taps_hi = np.clip(y0t[m] + 2, 0, 255)
+                    assert (taps_lo >= lo).all()
+                    assert (taps_hi <= lo + resid_rows - 1).all()
