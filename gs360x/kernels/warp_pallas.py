@@ -1866,10 +1866,10 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
     Returns ``(win_rows, resid_rows, max_rounds, shear_span, tab, cs)``
     or ``None``.  ``shear_span`` bounds the per-8-row-group horizontal
     shear span ``max(x0) - min(x0)`` (per column) over the whole view
-    (padded +4 for the kernel's f32-vs-f64 floor jitter and rounded into
-    classes) — it sizes the kernel's static extended tap sweep; the
-    sweep ORIGIN is the group's in-kernel ``min(dx)``, so runtime cost
-    tracks each tile's actual shear, not the view's worst tile.
+    (padded +4 and rounded into classes).  It is ROUTING policy only —
+    the kernel's tap sweep is a fori_loop over each group's true local
+    shear — and caps how much extended-sweep work wide3 will accept
+    before the view falls back to wide2.
     ``tab`` is (n_tiles, 3 + MB) i32: [b0, nblk, anchor, rm_0..rm_{MB-1}]
     with MB = max_rounds * WIDE2_BPR; ``cs`` is (n_tiles, MB, 128) i32 —
     per (tile, block, in-block source column) the 8-aligned chunk offset
@@ -1948,35 +1948,46 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
                 xg = x0[g0:g0 + 8]
                 shear_span = max(shear_span,
                                  int((xg.max(0) - xg.min(0)).max()))
-            # per-x0-column y0 extrema over valid pixels (scatter once,
-            # then a width-n_taps sliding min/max gives per-TAP-column
-            # extrema: column j is tapped by pixels with
-            # x0 in [j - koff - (n_taps-1), j - koff])
+            # per-(GROUP, x0-column) y0 extrema over valid pixels
+            # (scatter once per group, then a width-n_taps sliding
+            # min/max gives per-TAP-column extrema: column j is tapped
+            # by pixels with x0 in [j - koff - (n_taps-1), j - koff]).
+            # Group-level stats let the residual class track the 8-row
+            # group's vertical extent instead of the whole tile's —
+            # roughly halving nvv and with it the kernel's select/gather
+            # chain length.
             c_lo, c_hi = b0 * 128, (b0 + nblk) * 128
             ncols = c_hi - c_lo
-            miny = np.full(ncols + n_taps, np.iinfo(np.int64).max)
-            maxy = np.full(ncols + n_taps, np.iinfo(np.int64).min)
-            # column j is tapped by px with x0 in [j-koff-(n_taps-1),
-            # j-koff]; storing y0 stats at q + (n_taps-1) + koff (with
-            # q = x0 - c_lo) lets a forward sliding min/max of width
-            # n_taps at offset j read exactly that x0 range
-            xr = x0[mt] - c_lo + (n_taps - 1) + koff
-            # x0 + koff >= lo >= c_lo, so xr >= 0; guard anyway
-            xr = np.clip(xr, 0, ncols + n_taps - 1)
-            np.minimum.at(miny, xr, y0[mt])
-            np.maximum.at(maxy, xr, y0[mt])
-            mn = miny[:ncols]
-            mx = maxy[:ncols]
-            for s in range(1, n_taps):
-                mn = np.minimum(mn, miny[s:ncols + s])
-                mx = np.maximum(mx, maxy[s:ncols + s])
-            has = mn <= mx
-            mn_tap = np.where(has, np.maximum(mn + koff, 0), 0)
-            mx_tap = np.where(
-                has, np.minimum(mx + koff + n_taps - 1, src_h - 1), -1)
-            colspan_max = max(
-                colspan_max,
-                int((mx_tap - mn_tap)[has].max()) if has.any() else 0)
+            g_stats = []
+            for g0 in range(0, TILE_ROWS, 8):
+                mg = mt[g0:g0 + 8]
+                miny = np.full(ncols + n_taps, np.iinfo(np.int64).max)
+                maxy = np.full(ncols + n_taps, np.iinfo(np.int64).min)
+                # column j is tapped by px with x0 in
+                # [j-koff-(n_taps-1), j-koff]; storing y0 stats at
+                # q + (n_taps-1) + koff (q = x0 - c_lo) lets a forward
+                # sliding min/max of width n_taps at offset j read
+                # exactly that x0 range
+                xr = x0[g0:g0 + 8][mg] - c_lo + (n_taps - 1) + koff
+                # x0 + koff >= lo >= c_lo, so xr >= 0; guard anyway
+                xr = np.clip(xr, 0, ncols + n_taps - 1)
+                np.minimum.at(miny, xr, y0[g0:g0 + 8][mg])
+                np.maximum.at(maxy, xr, y0[g0:g0 + 8][mg])
+                mn = miny[:ncols]
+                mx = maxy[:ncols]
+                for s in range(1, n_taps):
+                    mn = np.minimum(mn, miny[s:ncols + s])
+                    mx = np.maximum(mx, maxy[s:ncols + s])
+                has = mn <= mx
+                mn_tap = np.where(has, np.maximum(mn + koff, 0), 0)
+                mx_tap = np.where(
+                    has, np.minimum(mx + koff + n_taps - 1, src_h - 1),
+                    -1)
+                colspan_max = max(
+                    colspan_max,
+                    int((mx_tap - mn_tap)[has].max()) if has.any()
+                    else 0)
+                g_stats.append((mn_tap, mx_tap, has))
             rms = []
             stats = []
             for b in range(nblk):
@@ -1993,9 +2004,10 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
                         (max(0, int(np.floor(vb.min())) - V_MARGIN)
                          // 8) * 8)
                 sl = (bcol - c_lo)
-                stats.append((mn_tap[sl:sl + 128].copy(),
-                              mx_tap[sl:sl + 128].copy(),
-                              has[sl:sl + 128].copy()))
+                stats.append([(gmn[sl:sl + 128].copy(),
+                               gmx[sl:sl + 128].copy(),
+                               ghas[sl:sl + 128].copy())
+                              for gmn, gmx, ghas in g_stats])
             tile_rows.append((b0, nblk, int(round(try_anchor)), rms,
                               stats))
 
@@ -2016,9 +2028,8 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
             break
     if resid_rows is None:
         return None
-    # shear class: +4 pad for kernel f32 floor jitter (x0 and the
-    # in-kernel min both wobble +-1 vs the f64 plan), rounded up to
-    # limit recompiles; views shearing past the cap fall back to wide2
+    # shear cap (routing only): views whose extended tap sweep would
+    # dwarf the 4-tap baseline fall back to wide2
     span_cls = None
     for cls in WIDE3_SHEAR_CLASSES:
         if shear_span + 4 <= cls:
@@ -2031,8 +2042,9 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
     rm_cap = ((src_h - win_rows) // 8) * 8
     cs_cap = (win_rows - resid_rows) // 8
 
+    n_groups = TILE_ROWS // 8
     tab = np.zeros((n_tiles, 3 + mb), np.int32)
-    cs = np.zeros((n_tiles, mb, 128), np.int32)
+    cs = np.zeros((n_tiles, mb, n_groups, 128), np.int32)
     for t, (b0, nblk, anchor, rms, stats) in enumerate(tile_rows):
         tab[t, 0] = b0
         tab[t, 1] = nblk
@@ -2040,14 +2052,16 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
         for b in range(nblk):
             rm = min(rms[b], rm_cap)
             tab[t, 3 + b] = rm
-            mn_tap, mx_tap, has = stats[b]
-            csb = np.clip((mn_tap - rm) // 8, 0, cs_cap)
-            # validated: taps must fit the residual window.  cs at the
-            # ceiling still covers rm + [8*cs, 8*cs + RS) = window top.
-            bad = has & (mx_tap > rm + 8 * csb + resid_rows - 1)
-            if bad.any():
-                return None
-            cs[t, b] = np.where(has, csb, 0)
+            for g in range(n_groups):
+                mn_tap, mx_tap, has = stats[b][g]
+                csb = np.clip((mn_tap - rm) // 8, 0, cs_cap)
+                # validated: taps must fit the residual window.  cs at
+                # the ceiling still covers rm + [8*cs, 8*cs + RS) =
+                # window top.
+                bad = has & (mx_tap > rm + 8 * csb + resid_rows - 1)
+                if bad.any():
+                    return None
+                cs[t, b, g] = np.where(has, csb, 0)
     return win_rows, resid_rows, max_rounds, span_cls, tab, cs
 
 
@@ -2070,8 +2084,8 @@ def _wide3_tables_device(key, tabs: List[np.ndarray],
             tab = np.concatenate(
                 [tab, np.zeros((n_t, mb - (w_t - 3)), np.int32)], axis=1)
             cs = np.concatenate(
-                [cs, np.zeros((n_t, mb - cs.shape[1], 128), np.int32)],
-                axis=1)
+                [cs, np.zeros((n_t, mb - cs.shape[1]) + cs.shape[2:],
+                              np.int32)], axis=1)
         tab_rows.append(tab)
         cs_rows.append(cs)
     val = (jnp.asarray(np.concatenate(tab_rows, axis=0).T.copy()),
@@ -2113,11 +2127,11 @@ def _build_vsel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
     return vsel
 
 
-def _resample_tile_wide3(vsel, csb, bcol_local, x0, hw, y0, vw, rm_b, acc,
-                         *, resid_rows: int, n_taps: int, koff: int,
-                         src_h: int, shear_span: int):
-    """Accumulate one de-sheared block into the output tile — every op a
-    full (8, 128) vreg.
+def _resample_group_wide3(g, vsel, csb, bcol_local, x0, hw, y0, vw,
+                          rm_b, acc, *, resid_rows: int, n_taps: int,
+                          koff: int, src_h: int):
+    """Accumulate one (de-sheared block, 8-row output group) into the
+    output tile — every op a full (8, 128) vreg.
 
     The lane gather that moves residual-window columns to output lanes
     MUST use a row-invariant column index: the vertical taps afterwards
@@ -2126,73 +2140,66 @@ def _resample_tile_wide3(vsel, csb, bcol_local, x0, hw, y0, vw, rm_b, acc,
     same source column.  Tilted views shear horizontally (x0 varies down
     an 8-row group), so the tap columns are anchored at the group's row
     3 (``jb``) and the per-row shear ``dx = x0 - jb`` is folded into an
-    extended tap-position sweep ORIGINATING at the group's in-kernel
-    ``min(dx)``: iteration ``k2`` serves source column
-    ``jb + min(dx) + k2 + koff``, and each row picks the cubic weight
-    ``hw[k2 - (dx - min(dx))]`` via a short select chain (zero where no
-    tap of that row lands on this column).  ``shear_span`` bounds the
-    static sweep; the in-kernel span gates the iterations a given
-    (group, block) doesn't need, so runtime tracks the TILE's actual
-    shear, not the view's worst tile."""
+    extended tap-position sweep: a ``fori_loop`` over
+    ``dx_hi - dx_lo + n_taps`` positions (the group's true local shear —
+    no static worst-case unroll), where iteration ``k2`` serves source
+    column ``jb + dx_lo + k2 + koff`` and each row picks the cubic
+    weight ``hw[k2 - (dx - dx_lo)]`` via a short select chain (zero
+    where no tap of that row lands on this column).
+
+    Border semantics: each tap row is clamped to [0, src_h-1] like the
+    twin BEFORE conversion to residual space — the planner's per-group
+    validation (clamped mn/mx per tap column) then guarantees residual
+    rows in [0, RS-1] wherever the weight is nonzero, with the residual
+    origin at 0 wherever the top clamp binds.  The residual VREG id
+    (q = r >> 3) varies per pixel, so the vreg select happens AFTER the
+    per-lane sublane gather — never before (cross-sublane index
+    mixing)."""
     nvv = resid_rows // 8
-    n_groups = TILE_ROWS // 8
-    n_k2 = n_taps + shear_span
-    for g in range(n_groups):
-        rows = slice(g * 8, (g + 1) * 8)
-        y0g = y0[rows]
-        x0g = x0[rows]
-        jb = jnp.broadcast_to(x0g[3:4, :], (8, TILE_COLS))
-        dx = x0g - jb
-        dx_lo = jnp.min(dx)
-        dx_hi = jnp.max(dx)
-        dxr = dx - dx_lo                      # in [0, span]
-        for k2 in range(n_k2):
-            # iteration k2 contributes iff some (row, tap) lands on its
-            # column: k2 in [0, (dx_hi - dx_lo) + n_taps - 1]
-            @pl.when(k2 <= (dx_hi - dx_lo) + (n_taps - 1))
-            def _(k2=k2):
-                xi = jb + dx_lo + (k2 + koff)     # row-invariant column
-                j = xi - bcol_local
-                inb = (j >= 0) & (j < TILE_COLS)
-                jc = jnp.clip(j, 0, TILE_COLS - 1)
-                csk = jnp.take_along_axis(csb, jc, axis=1)
-                off = rm_b + 8 * csk      # residual-window origin (abs)
-                wsel = jnp.zeros((8, TILE_COLS), jnp.float32)
-                for kk in range(n_taps):
-                    wsel = jnp.where(dxr == (k2 - kk),
-                                     hw[kk][rows], wsel)
-                whk = jnp.where(inb, wsel, 0.0)
-                # per-tap residual rows (shared across channels): each
-                # tap row is clamped to [0, src_h-1] like the twin BEFORE
-                # conversion to residual space — the planner's validation
-                # (clamped mn/mx per tap column) then guarantees r_m in
-                # [0, RS-1] wherever the weight is nonzero, with off == 0
-                # wherever the top clamp binds.  The residual VREG id
-                # (q = r_m >> 3) varies per pixel, so the vreg select
-                # must happen AFTER the per-lane sublane gather — never
-                # before (cross-sublane index mixing).
-                rms, qs = [], []
-                for m in range(n_taps):
-                    r_m = jnp.clip(y0g + koff + m, 0, src_h - 1) - off
-                    rms.append(r_m)
-                    qs.append(jnp.clip(r_m, 0, resid_rows - 1) // 8)
-                for c in range(3):
-                    gs = [jnp.take_along_axis(vsel[c][vv], jc, axis=1)
-                          for vv in range(nvv)]
-                    val = None
-                    for m in range(n_taps):
-                        gm = None
-                        for vv in range(nvv):
-                            gv = jnp.take_along_axis(
-                                gs[vv],
-                                jnp.clip(rms[m] - 8 * vv, 0, 7), axis=0)
-                            gm = gv if gm is None else \
-                                jnp.where(qs[m] == vv, gv, gm)
-                        term = gm * vw[m][rows]
-                        val = term if val is None else val + term
-                    # pl.when bodies may only mutate refs — accumulate
-                    # straight into the VMEM scratch
-                    acc[c, rows, :] = acc[c, rows, :] + val * whk
+    rows = slice(g * 8, (g + 1) * 8)
+    y0g = y0[rows]
+    x0g = x0[rows]
+    jb = jnp.broadcast_to(x0g[3:4, :], (8, TILE_COLS))
+    dx = x0g - jb
+    dx_lo = jnp.min(dx)
+    dx_hi = jnp.max(dx)
+    dxr = dx - dx_lo                      # in [0, local span]
+    hwg = [h[rows] for h in hw]
+    vwg = [v[rows] for v in vw]
+
+    def body(k2, carry):
+        xi = jb + dx_lo + (k2 + koff)     # row-invariant column
+        j = xi - bcol_local
+        inb = (j >= 0) & (j < TILE_COLS)
+        jc = jnp.clip(j, 0, TILE_COLS - 1)
+        csk = jnp.take_along_axis(csb, jc, axis=1)
+        off = rm_b + 8 * csk              # residual-window origin (abs)
+        wsel = jnp.zeros((8, TILE_COLS), jnp.float32)
+        for kk in range(n_taps):
+            wsel = jnp.where(dxr == (k2 - kk), hwg[kk], wsel)
+        whk = jnp.where(inb, wsel, 0.0)
+        rms, qs = [], []
+        for m in range(n_taps):
+            r_m = jnp.clip(y0g + koff + m, 0, src_h - 1) - off
+            rms.append(r_m)
+            qs.append(jnp.clip(r_m, 0, resid_rows - 1) // 8)
+        for c in range(3):
+            gs = [jnp.take_along_axis(vsel[c][vv], jc, axis=1)
+                  for vv in range(nvv)]
+            val = None
+            for m in range(n_taps):
+                gm = None
+                for vv in range(nvv):
+                    gv = jnp.take_along_axis(
+                        gs[vv], jnp.clip(rms[m] - 8 * vv, 0, 7), axis=0)
+                    gm = gv if gm is None else \
+                        jnp.where(qs[m] == vv, gv, gm)
+                term = gm * vwg[m]
+                val = term if val is None else val + term
+            acc[c, rows, :] = acc[c, rows, :] + val * whk
+        return carry
+
+    jax.lax.fori_loop(0, dx_hi - dx_lo + n_taps, body, 0)
 
 
 def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
@@ -2204,7 +2211,6 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
                        acc,              # scratch (3, TILE_ROWS, 128)
                        sems,             # DMA semaphores (3, BPR)
                        *, interp: str, win_rows: int, resid_rows: int,
-                       shear_span: int,
                        src_w: int, src_h: int, geo_w: int, geo_h: int,
                        n_tiles_x: int, tiles_per_view: int,
                        projection: str, mb: int):
@@ -2322,25 +2328,28 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
     for c in range(3):
         acc[c] = jnp.zeros((TILE_ROWS, TILE_COLS), jnp.float32)
 
-    def block_cs(b):
-        """(8, 128) i32 chunk offsets for block ``b`` (may be traced)."""
-        row = cs_hbm[0, pl.ds(b, 1), :]
+    def block_cs(b, g):
+        """(8, 128) i32 chunk offsets for block ``b``, output group
+        ``g`` (b may be traced; g is static)."""
+        row = cs_hbm[0, pl.ds(b, 1), g, :]
         return jnp.broadcast_to(row.reshape(1, TILE_COLS),
                                 (8, TILE_COLS))
 
     # ---- round 0 (double-buffered across tiles) ----
+    n_groups = TILE_ROWS // 8
     for bi in range(WIDE2_BPR):
         @pl.when(bi < nblk_t)
         def _(bi=bi):
             dma_blk(slot0, t, bi, bi).wait()
             rm_b = tab_ref[3 + bi, t]
-            csb = block_cs(bi)
-            vsel = _build_vsel(win_raw, slot0, bi * 128, csb,
-                               win_rows=R, resid_rows=resid_rows)
-            _resample_tile_wide3(
-                vsel, csb, (b0_t + bi) * 128, x0, hw, y0, vw, rm_b, acc,
-                resid_rows=resid_rows, n_taps=n_taps, koff=koff,
-                src_h=src_h, shear_span=shear_span)
+            for g in range(n_groups):
+                csb = block_cs(bi, g)
+                vsel = _build_vsel(win_raw, slot0, bi * 128, csb,
+                                   win_rows=R, resid_rows=resid_rows)
+                _resample_group_wide3(
+                    g, vsel, csb, (b0_t + bi) * 128, x0, hw, y0, vw,
+                    rm_b, acc, resid_rows=resid_rows, n_taps=n_taps,
+                    koff=koff, src_h=src_h)
 
     @pl.when((rounds_t <= 1) & (t + 1 < n_t))
     def _():
@@ -2363,14 +2372,15 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
                 @pl.when(b < nblk_t)
                 def _(bi=bi, b=b):
                     rm_b = tab_ref[3 + b, t]
-                    csb = block_cs(b)
-                    vsel = _build_vsel(win_raw, 2, bi * 128, csb,
-                                       win_rows=R,
-                                       resid_rows=resid_rows)
-                    _resample_tile_wide3(
-                        vsel, csb, (b0_t + b) * 128, x0, hw, y0, vw,
-                        rm_b, acc, resid_rows=resid_rows, n_taps=n_taps,
-                        koff=koff, src_h=src_h, shear_span=shear_span)
+                    for g in range(TILE_ROWS // 8):
+                        csb = block_cs(b, g)
+                        vsel = _build_vsel(win_raw, 2, bi * 128, csb,
+                                           win_rows=R,
+                                           resid_rows=resid_rows)
+                        _resample_group_wide3(
+                            g, vsel, csb, (b0_t + b) * 128, x0, hw, y0,
+                            vw, rm_b, acc, resid_rows=resid_rows,
+                            n_taps=n_taps, koff=koff, src_h=src_h)
             return 0
 
         jax.lax.fori_loop(1, rounds_t, round_body, 0)
@@ -2392,11 +2402,10 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
     jax.jit,
     static_argnames=("width", "height", "true_w", "true_h", "src_w",
                      "src_h", "interp", "win_rows", "resid_rows",
-                     "shear_span",
                      "n_views", "projection", "mb", "interpret"))
 def _warp_call_wide3(src_rows, view_f32, tab, cs, *, width, height,
                      true_w, true_h, src_w, src_h, interp, win_rows,
-                     resid_rows, shear_span, n_views, mb,
+                     resid_rows, n_views, mb,
                      projection="perspective", interpret=False):
     n_tiles_x = width // TILE_COLS
     tiles_per_view = (height // TILE_ROWS) * n_tiles_x
@@ -2404,7 +2413,7 @@ def _warp_call_wide3(src_rows, view_f32, tab, cs, *, width, height,
 
     kernel = functools.partial(
         _warp_kernel_wide3, interp=interp, win_rows=win_rows,
-        resid_rows=resid_rows, shear_span=shear_span,
+        resid_rows=resid_rows,
         src_w=src_w, src_h=src_h, geo_w=true_w,
         geo_h=true_h, n_tiles_x=n_tiles_x, tiles_per_view=tiles_per_view,
         projection=projection, mb=mb)
@@ -2414,7 +2423,8 @@ def _warp_call_wide3(src_rows, view_f32, tab, cs, *, width, height,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # view_f32
             pl.BlockSpec(memory_space=pl.ANY),       # src stays in HBM
-            pl.BlockSpec((1, mb, 128), lambda t, tab: (t, 0, 0)),
+            pl.BlockSpec((1, mb, TILE_ROWS // 8, TILE_COLS),
+                         lambda t, tab: (t, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 3, TILE_ROWS, TILE_COLS),
@@ -2914,11 +2924,11 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
             win_rows_w3 = max(p[0] for p in w3_plans)
             resid_w3 = max(p[1] for p in w3_plans)
             mb_w3 = max(p[2] for p in w3_plans) * WIDE2_BPR
-            span_w3 = max(p[3] for p in w3_plans)
+
             # clamp cs to the CALL-level chunk cap: safe (the residual
             # window only grows downward within the call-level class)
             cs_cap = (win_rows_w3 - resid_w3) // 8
-            tkey = ("widev3c",
+            tkey = ("widev3d",
                     tuple((float(yaws[i]), float(pitches[i]),
                            float(rolls[i])) for i in wide_idx),
                     float(hfov_deg), float(vfov_deg), out_w, out_h,
@@ -2932,7 +2942,6 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                 width=out_w, height=out_h, true_w=width, true_h=height,
                 src_w=src_w, src_h=src_h, interp=interp,
                 win_rows=win_rows_w3, resid_rows=resid_w3,
-                shear_span=span_w3,
                 n_views=len(wide_budgets), mb=mb_w3,
                 projection=projection, interpret=interpret)))
             w2_plans = None

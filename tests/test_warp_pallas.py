@@ -323,7 +323,7 @@ class TestWide3Kernel:
             planar_src, jnp.asarray(table), tab3, cs3,
             width=self.W, height=self.H, true_w=self.W, true_h=self.H,
             src_w=512, src_h=256, interp=interp, win_rows=win_rows,
-            resid_rows=resid_rows, shear_span=span_cls, n_views=1,
+            resid_rows=resid_rows, n_views=1,
             mb=mb, projection="perspective", interpret=True)
         # planar (1, 3, H, W) -> HWC
         return np.transpose(np.asarray(out), (0, 2, 3, 1))
@@ -383,14 +383,37 @@ class TestWide3Kernel:
             for b in range(nblk):
                 rm = int(tab[t, 3 + b])
                 bcol = (b0 + b) * 128
-                for k in range(4):
-                    xi = x0 + (k - 1)
-                    m = (xi >= bcol) & (xi < bcol + 128)
-                    if not m.any():
-                        continue
-                    j = xi[m] - bcol
-                    lo = rm + 8 * cs[t, b][j]
-                    taps_lo = np.clip(y0t[m] - 1, 0, 255)
-                    taps_hi = np.clip(y0t[m] + 2, 0, 255)
-                    assert (taps_lo >= lo).all()
-                    assert (taps_hi <= lo + resid_rows - 1).all()
+                for g in range(TR // 8):
+                    gr = slice(g * 8, (g + 1) * 8)
+                    for k in range(4):
+                        xi = x0[gr] + (k - 1)
+                        m = (xi >= bcol) & (xi < bcol + 128)
+                        if not m.any():
+                            continue
+                        j = xi[m] - bcol
+                        lo = rm + 8 * cs[t, b, g][j]
+                        taps_lo = np.clip(y0t[gr][m] - 1, 0, 255)
+                        taps_hi = np.clip(y0t[gr][m] + 2, 0, 255)
+                        assert (taps_lo >= lo).all()
+                        assert (taps_hi <= lo + resid_rows - 1).all()
+
+    def test_public_dispatch_routes_wide3(self):
+        # narrow/tilt reject this (steep horizontal slope at lat -50),
+        # wide2 AND wide3 plan it -> dispatch must build the per-group
+        # cs tables and serve it on wide3 (GS360X_WIDE3 default-on)
+        src = lonlat_pano(1024, 512)
+        kw = dict(width=256, height=32, hfov_deg=100.0, vfov_deg=25.0)
+        assert warp_pallas.plan_view(
+            256, 32, 100.0, 25.0, 20.0, -50.0, 0.0, 1024, 512,
+            true_w=256, true_h=32) is None
+        assert warp_pallas._wide3_plan_view(
+            256, 32, 100.0, 25.0, 20.0, -50.0, 0.0, 1024, 512, 256, 32,
+            "perspective", "bicubic") is not None
+        ref = np.asarray(warp.warp_equirect_to_views(
+            src, np.array([20.0], np.float32),
+            np.array([-50.0], np.float32), np.array([0.0], np.float32),
+            interp="bicubic", backend="xla", **kw))
+        out = warp_pallas.warp_equirect_to_views_pallas(
+            src, np.array([20.0]), np.array([-50.0]), np.array([0.0]),
+            interp="bicubic", interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
