@@ -44,7 +44,37 @@ def timed_throughput(fn, sync, *, warm=1, reps=10):
     return per_call
 
 
+def _probe_device(timeout_s: float = 300.0) -> bool:
+    """Bounded device-init probe in a child process.
+
+    The axon tunnel blocks ``jax.devices()`` for many minutes when it is
+    down; a hung bench records nothing for the round. Probe first and
+    fail fast with a JSON line the driver can still parse.
+    """
+    import subprocess
+    import sys as _sys
+
+    code = ("import jax; jax.devices(); "
+            "import jax.numpy as jnp; "
+            "x = jnp.ones((8, 8)); (x @ x).block_until_ready()")
+    try:
+        proc = subprocess.run([_sys.executable, "-c", code],
+                              timeout=timeout_s, capture_output=True)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_device():
+        log("[bench] device init probe failed/timed out (tunnel down?)")
+        print(json.dumps({
+            "metric": "8K->1080p perspective cuts/sec/chip "
+                      "(8-view bicubic warp)",
+            "value": 0.0, "unit": "views/s", "vs_baseline": 0.0,
+            "error": "device init timeout"}))
+        return 1
+
     import jax
     import jax.numpy as jnp
 

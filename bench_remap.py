@@ -40,6 +40,15 @@ def timed_throughput(fn, sync, *, warm=1, reps=8):
 
 
 def main():
+    from bench import _probe_device
+
+    if not _probe_device():
+        log("[bench_remap] device init probe failed/timed out")
+        print(json.dumps({"metric": "dual-fisheye SFM10 remap views/s",
+                          "value": 0.0, "unit": "views/s",
+                          "error": "device init timeout"}))
+        return 1
+
     import jax
     import jax.numpy as jnp
 
