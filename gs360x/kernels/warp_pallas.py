@@ -4,34 +4,51 @@ Why this exists: XLA's general gather on TPU runs at ~44M indices/s,
 capping the XLA warp backend at single-digit 8K→1080p views/sec, and
 XLA's HWC→planar transpose of an 8K frame is similarly unusable.
 
-Architecture (round 2):
+Architecture (round 3):
 
 0. **Planar source pass** (:func:`_planar_source`): one Mosaic sweep
    turns the interleaved (H, W·3) uint8/uint16/f32 frame into a
-   seam-padded planar (3, H, W'') f32 array. Windows the warp kernels
-   read overlap ~4× at production slopes, so de-interleaving per window
-   (as round 1 did) paid the ~8-op lane-shuffle cost four times over;
-   integer normalization fuses into the same pass.
+   seam-padded planar (3, H, W'') array (f32, or u8 kept raw for
+   pure-yaw sets — the /255 rides the precomputed h-pass weights).
+   Windows the warp kernels read overlap ~4× at production slopes, so
+   de-interleaving per window (as round 1 did) paid the ~8-op
+   lane-shuffle cost four times over; integer normalization fuses into
+   the same pass.
 
-1. **Yaw-ring kernel** (:func:`_warp_kernel_yaw`) — pitch=roll=0 views,
-   the default preset's camera ring. ``u`` is row-independent (``atan2``
-   is scale-invariant in the ray normalisation), so the horizontal
-   resample is ONE lane-varying linear map per 32-row tile: built as a
-   4-tap one-hot matrix and run on the **MXU** (``IH = win @ Wx``). The
-   vertical stage runs an exact-trip ``fori_loop`` over the ~2-3 window
-   chunks each 8-row band touches, gathering all 8 rows per sublane
-   shuffle. Per-tile geometry is computed once — each tile computes its
-   successor's coordinates for the DMA prefetch and parks them in
-   scratch (grid steps are sequential per core).
+1. **Yaw-ring kernels** (:func:`_warp_kernel_yaw`,
+   :func:`_warp_kernel_yaw2`) — pitch=roll=0 views, the default
+   preset's camera ring. ``u`` is row-independent (``atan2`` is
+   scale-invariant in the ray normalisation), so the horizontal
+   resample is ONE lane-varying linear map per tile-column: built as a
+   4-tap one-hot matrix and run on the **MXU** (``IH = win @ Wx``).
+   v2 PRECOMPUTES the one-hot matrices on host (f64 twin of the
+   geometry) and streams them through a pipelined input fetched once
+   per tile-column; window origins arrive via scalar-prefetch tables;
+   the bf16 MXU pass is the default (~0.25 u8 LSB vs the f32 twin,
+   the same order as v360's own fixed-point taps) with
+   ``GS360X_WARP_PRECISION=float32`` switching to 6-pass f32 emulation.
+   The vertical stage runs an exact-trip ``fori_loop`` over the ~2-3
+   window chunks each 8-row band touches, gathering all 8 rows per
+   sublane shuffle.
 
 2. **General narrow kernel** (:func:`_warp_kernel`) — tilted/rolled
    views whose per-tile span fits a 384-col window: per-group hoisted
    tap indices + block-folded weights over (8,128) lane gathers.
 
-3. **Wide kernel** (:func:`_warp_kernel_wide`) — poles in view, extreme
-   slopes, and fisheye output projections (equidistant/equisolid ray
-   models with in-kernel ``sin``/``cos`` minimax polys + image-circle
-   masking): full-width short windows, per-group dynamic block ranges.
+3. **Wide kernels** — poles in view, extreme slopes, tilted
+   full360coverage views, and fisheye output projections
+   (equidistant/equisolid ray models with in-kernel ``sin``/``cos``
+   minimax polys + image-circle masking).
+   v1 (:func:`_warp_kernel_wide`): full-width short windows.
+   v2 (:func:`_warp_kernel_wide2`): per-(tile, block) windows fetched
+   ``WIDE2_BPR`` blocks per round from host-planned scalar-prefetch
+   tables, round 0 double-buffered across tiles.
+   v3 (:func:`_warp_kernel_wide3`): v2's windows plus host-planned
+   DE-SHEARED residual tables — per (block, 8-row output group) the
+   plan records 8-aligned chunk offsets that compact each group's
+   vertical taps into a short residual window, so the resample is pure
+   full-(8,128)-vreg SIMD (lane gather + sublane gather per tap) with
+   a ``fori_loop`` tap sweep over the group's true local shear.
 
 A cached EXACT host planner (stride-1 numpy twin of the ray math)
 assigns each view a kernel class and window row budget; mixed view sets
@@ -43,8 +60,8 @@ Exactness: identical sampling math to :mod:`gs360x.kernels.warp` (v360
 conventions, Lagrange bicubic): every tap reads ``src[y0+m, x0+k]`` at
 the pixel's own fractional coordinates — no separable approximation;
 agreement with the XLA backend is ~1e-5 (1e-4 near poles, where the
-~1e-7-rad trig polynomial error is magnified). Headline: ~801 8K→1080p
-bicubic views/s on one v5e chip (XLA lowering: ~2).
+~1e-7-rad trig polynomial error is magnified). Headline: ~1,017
+8K→1080p bicubic views/s on one v5e chip (XLA lowering: ~2).
 """
 
 from __future__ import annotations
