@@ -2144,9 +2144,10 @@ def _build_vsel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
     return vsel
 
 
-def _resample_group_wide3(g, vsel, csb, bcol_local, x0, hw, y0, vw,
-                          rm_b, acc, *, resid_rows: int, n_taps: int,
-                          koff: int, src_h: int):
+def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
+                          x0, hw, y0, vw, rm_b, acc, *, win_rows: int,
+                          resid_rows: int, n_taps: int, koff: int,
+                          src_h: int):
     """Accumulate one (de-sheared block, 8-row output group) into the
     output tile — every op a full (8, 128) vreg.
 
@@ -2171,52 +2172,66 @@ def _resample_group_wide3(g, vsel, csb, bcol_local, x0, hw, y0, vw,
     origin at 0 wherever the top clamp binds.  The residual VREG id
     (q = r >> 3) varies per pixel, so the vreg select happens AFTER the
     per-lane sublane gather — never before (cross-sublane index
-    mixing)."""
+    mixing).
+
+    The whole (block, group) body — including the vsel build — is gated
+    on a cheap touch test (does ANY tap column of this group land in
+    this block?): multi-block tiles (fisheye rims sweep up to ~12
+    blocks) would otherwise pay the full sweep for every
+    (block, group) pair whose weights are all zero."""
     nvv = resid_rows // 8
     rows = slice(g * 8, (g + 1) * 8)
     y0g = y0[rows]
     x0g = x0[rows]
-    jb = jnp.broadcast_to(x0g[3:4, :], (8, TILE_COLS))
-    dx = x0g - jb
-    dx_lo = jnp.min(dx)
-    dx_hi = jnp.max(dx)
-    dxr = dx - dx_lo                      # in [0, local span]
-    hwg = [h[rows] for h in hw]
-    vwg = [v[rows] for v in vw]
+    touch = (jnp.max(x0g) + koff + (n_taps - 1) >= bcol_local) \
+        & (jnp.min(x0g) + koff < bcol_local + TILE_COLS)
 
-    def body(k2, carry):
-        xi = jb + dx_lo + (k2 + koff)     # row-invariant column
-        j = xi - bcol_local
-        inb = (j >= 0) & (j < TILE_COLS)
-        jc = jnp.clip(j, 0, TILE_COLS - 1)
-        csk = jnp.take_along_axis(csb, jc, axis=1)
-        off = rm_b + 8 * csk              # residual-window origin (abs)
-        wsel = jnp.zeros((8, TILE_COLS), jnp.float32)
-        for kk in range(n_taps):
-            wsel = jnp.where(dxr == (k2 - kk), hwg[kk], wsel)
-        whk = jnp.where(inb, wsel, 0.0)
-        rms, qs = [], []
-        for m in range(n_taps):
-            r_m = jnp.clip(y0g + koff + m, 0, src_h - 1) - off
-            rms.append(r_m)
-            qs.append(jnp.clip(r_m, 0, resid_rows - 1) // 8)
-        for c in range(3):
-            gs = [jnp.take_along_axis(vsel[c][vv], jc, axis=1)
-                  for vv in range(nvv)]
-            val = None
+    @pl.when(touch)
+    def _():
+        vsel = _build_vsel(win_raw, slot, bi_lane0, csb,
+                           win_rows=win_rows, resid_rows=resid_rows)
+        jb = jnp.broadcast_to(x0g[3:4, :], (8, TILE_COLS))
+        dx = x0g - jb
+        dx_lo = jnp.min(dx)
+        dx_hi = jnp.max(dx)
+        dxr = dx - dx_lo                  # in [0, local span]
+        hwg = [h[rows] for h in hw]
+        vwg = [v[rows] for v in vw]
+
+        def body(k2, carry):
+            xi = jb + dx_lo + (k2 + koff)     # row-invariant column
+            j = xi - bcol_local
+            inb = (j >= 0) & (j < TILE_COLS)
+            jc = jnp.clip(j, 0, TILE_COLS - 1)
+            csk = jnp.take_along_axis(csb, jc, axis=1)
+            off = rm_b + 8 * csk          # residual-window origin (abs)
+            wsel = jnp.zeros((8, TILE_COLS), jnp.float32)
+            for kk in range(n_taps):
+                wsel = jnp.where(dxr == (k2 - kk), hwg[kk], wsel)
+            whk = jnp.where(inb, wsel, 0.0)
+            rms, qs = [], []
             for m in range(n_taps):
-                gm = None
-                for vv in range(nvv):
-                    gv = jnp.take_along_axis(
-                        gs[vv], jnp.clip(rms[m] - 8 * vv, 0, 7), axis=0)
-                    gm = gv if gm is None else \
-                        jnp.where(qs[m] == vv, gv, gm)
-                term = gm * vwg[m]
-                val = term if val is None else val + term
-            acc[c, rows, :] = acc[c, rows, :] + val * whk
-        return carry
+                r_m = jnp.clip(y0g + koff + m, 0, src_h - 1) - off
+                rms.append(r_m)
+                qs.append(jnp.clip(r_m, 0, resid_rows - 1) // 8)
+            for c in range(3):
+                gs = [jnp.take_along_axis(vsel[c][vv], jc, axis=1)
+                      for vv in range(nvv)]
+                val = None
+                for m in range(n_taps):
+                    gm = None
+                    for vv in range(nvv):
+                        gv = jnp.take_along_axis(
+                            gs[vv], jnp.clip(rms[m] - 8 * vv, 0, 7),
+                            axis=0)
+                        gm = gv if gm is None else \
+                            jnp.where(qs[m] == vv, gv, gm)
+                    term = gm * vwg[m]
+                    val = term if val is None else val + term
+                acc[c, rows, :] = acc[c, rows, :] + val * whk
+            return carry
 
-    jax.lax.fori_loop(0, dx_hi - dx_lo + n_taps, body, 0)
+        jax.lax.fori_loop(0, dx_hi - dx_lo + n_taps, body, 0)
 
 
 def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
@@ -2360,12 +2375,10 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
             dma_blk(slot0, t, bi, bi).wait()
             rm_b = tab_ref[3 + bi, t]
             for g in range(n_groups):
-                csb = block_cs(bi, g)
-                vsel = _build_vsel(win_raw, slot0, bi * 128, csb,
-                                   win_rows=R, resid_rows=resid_rows)
                 _resample_group_wide3(
-                    g, vsel, csb, (b0_t + bi) * 128, x0, hw, y0, vw,
-                    rm_b, acc, resid_rows=resid_rows, n_taps=n_taps,
+                    g, win_raw, slot0, bi * 128, block_cs(bi, g),
+                    (b0_t + bi) * 128, x0, hw, y0, vw, rm_b, acc,
+                    win_rows=R, resid_rows=resid_rows, n_taps=n_taps,
                     koff=koff, src_h=src_h)
 
     @pl.when((rounds_t <= 1) & (t + 1 < n_t))
@@ -2390,13 +2403,10 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
                 def _(bi=bi, b=b):
                     rm_b = tab_ref[3 + b, t]
                     for g in range(TILE_ROWS // 8):
-                        csb = block_cs(b, g)
-                        vsel = _build_vsel(win_raw, 2, bi * 128, csb,
-                                           win_rows=R,
-                                           resid_rows=resid_rows)
                         _resample_group_wide3(
-                            g, vsel, csb, (b0_t + b) * 128, x0, hw, y0,
-                            vw, rm_b, acc, resid_rows=resid_rows,
+                            g, win_raw, 2, bi * 128, block_cs(b, g),
+                            (b0_t + b) * 128, x0, hw, y0, vw, rm_b,
+                            acc, win_rows=R, resid_rows=resid_rows,
                             n_taps=n_taps, koff=koff, src_h=src_h)
             return 0
 
