@@ -1870,6 +1870,8 @@ def _warp_call_wide2(src_rows, view_f32, tab, *, width, height, true_w,
 
 WIDE3_RESID_CLASSES = (16, 24, 32, 40, 48, 56, 64)
 WIDE3_SHEAR_CLASSES = (4, 8, 16, 24)
+WIDE3_SPREAD_CLASSES = (1, 2, 4, 6, 8, 12, 16)
+_WIDE3_SWEEP_COST = 24.0   # rough sweep ops per nvv unit (cost model)
 
 
 @functools.lru_cache(maxsize=1024)
@@ -1877,23 +1879,50 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
                      vfov_deg: float, yaw_deg: float, pitch_deg: float,
                      roll_deg: float, src_w: int, src_h: int,
                      true_w: int, true_h: int, projection: str,
-                     interp: str):
+                     interp: str, force=None):
     """Exact f64 plan for the wide-v3 kernel.
 
-    Returns ``(win_rows, resid_rows, max_rounds, shear_span, tab, cs)``
-    or ``None``.  ``shear_span`` bounds the per-8-row-group horizontal
-    shear span ``max(x0) - min(x0)`` (per column) over the whole view
-    (padded +4 and rounded into classes).  It is ROUTING policy only —
-    the kernel's tap sweep is a fori_loop over each group's true local
+    Returns ``(win_rows, resid_lo, resid_hi, spread_lo, max_rounds,
+    shear_span, tab, cs)`` or ``None``.
+
+    ``shear_span`` bounds the per-8-row-group horizontal shear span
+    ``max(x0) - min(x0)`` (per column) over the whole view (padded +4
+    and rounded into classes).  It is ROUTING policy only — the
+    kernel's tap sweep is a fori_loop over each group's true local
     shear — and caps how much extended-sweep work wide3 will accept
     before the view falls back to wide2.
-    ``tab`` is (n_tiles, 3 + MB) i32: [b0, nblk, anchor, rm_0..rm_{MB-1}]
-    with MB = max_rounds * WIDE2_BPR; ``cs`` is (n_tiles, MB, 128) i32 —
-    per (tile, block, in-block source column) the 8-aligned chunk offset
-    of the de-sheared residual window (relative to the block's ``rm``).
-    Planning mirrors :func:`_wide2_plan_view` (anchored seam unwrap,
-    valid-masked stats) and adds per-column tap-row extrema so that
-    ``resid_rows`` is the smallest class covering every column's taps.
+
+    **Two residual branches.** Vertical tap extents are wildly
+    non-uniform across a tilted view (p50 output group needs a ~24-row
+    residual window with a lane-to-lane chunk spread of 1-2; the
+    steepest groups need 48/12), and the kernel's per-group cost scales
+    with BOTH the residual vreg count ``nvv`` and the select-chain
+    length, so one worst-case class taxes every tile.  The planner
+    therefore assigns each (tile, output-group) a branch flag:
+
+    - LO: residual class ``resid_lo``, served by a short RELATIVE
+      select chain of length ``spread_lo`` anchored at the group's
+      in-kernel ``min(cs)`` (dynamic-start row reads);
+    - HI: residual class ``resid_hi`` with the full absolute chain
+      (``(win_rows - resid_hi) // 8`` selects), exactly the v3c form.
+
+    ``(resid_lo, spread_lo)`` minimise a per-view cost model over the
+    class grids; ``spread_lo == 0`` signals single-branch (all HI).
+
+    ``tab`` is (n_tiles, 3 + G + MB) i32 with G = TILE_ROWS // 8:
+    ``[b0, nblk, anchor, flag_g0..flag_g{G-1}, rm_0..rm_{MB-1}]``;
+    ``cs`` is (n_tiles, MB, G, 128) i32 — per (tile, block, group,
+    in-block source column) the 8-aligned chunk offset of the
+    de-sheared residual window relative to the block's ``rm``, with
+    invalid lanes backfilled to the group's valid minimum (the LO
+    branch derives its chain anchor from ``min(cs)`` in-kernel).
+
+    ``force=(win_rows, resid_lo, resid_hi, spread_lo)`` re-plans with
+    pinned call-level classes so a mixed-view dispatch can make every
+    view's tables consistent with the kernel statics (flags and caps
+    are validated against the forced classes, never clamped after the
+    fact).  Planning mirrors :func:`_wide2_plan_view` (anchored seam
+    unwrap, valid-masked stats).
     """
     if width % TILE_COLS or height % TILE_ROWS:
         return None
@@ -2033,18 +2062,16 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
     for r in WIDE2_ROW_CLASSES:
         if r > src_h:
             continue
-        if need <= r - 9:
+        if need <= r - 9 and (force is None or r >= force[0]):
             win_rows = r
             break
     if win_rows is None:
         return None
-    resid_rows = None
-    for rs in WIDE3_RESID_CLASSES:
-        if rs <= win_rows and colspan_max <= rs - 8:
-            resid_rows = rs
-            break
-    if resid_rows is None:
-        return None
+    if force is not None:
+        if force[0] < win_rows or force[0] not in WIDE2_ROW_CLASSES \
+                or force[0] > src_h:
+            return None
+        win_rows = force[0]
     # shear cap (routing only): views whose extended tap sweep would
     # dwarf the 4-tap baseline fall back to wide2
     span_cls = None
@@ -2057,29 +2084,122 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
     max_rounds = -(-nblk_max // WIDE2_BPR)
     mb = max_rounds * WIDE2_BPR
     rm_cap = ((src_h - win_rows) // 8) * 8
-    cs_cap = (win_rows - resid_rows) // 8
-
     n_groups = TILE_ROWS // 8
-    tab = np.zeros((n_tiles, 3 + mb), np.int32)
-    cs = np.zeros((n_tiles, mb, n_groups, 128), np.int32)
+
+    # per-(tile, block, group) residual geometry: raw chunk offsets,
+    # residual need (rows), lane spread (chunks), max offset
+    tile_geo = []                 # per tile: (rm_list, [b][g] dict)
+    need_tg = np.zeros((n_tiles, n_groups), np.int64)
+    spread_tg = np.zeros((n_tiles, n_groups), np.int64)
+    maxcs_tg = np.zeros((n_tiles, n_groups), np.int64)
     for t, (b0, nblk, anchor, rms, stats) in enumerate(tile_rows):
+        rm_list = [min(rms[b], rm_cap) for b in range(nblk)]
+        per_bg = []
+        for b in range(nblk):
+            rm = rm_list[b]
+            row = []
+            for g in range(n_groups):
+                mn_tap, mx_tap, has = stats[b][g]
+                if has.any():
+                    csb = np.maximum((mn_tap - rm) // 8, 0)
+                    nd = int((mx_tap - (rm + 8 * csb) + 1)[has].max())
+                    cv = csb[has]
+                    sp, mc = int(cv.max() - cv.min()), int(cv.max())
+                    fill = int(cv.min())
+                    csb = np.where(has, csb, fill)
+                else:
+                    csb = np.zeros(128, np.int64)
+                    nd = sp = mc = 0
+                row.append((csb, has, nd))
+                need_tg[t, g] = max(need_tg[t, g], nd)
+                spread_tg[t, g] = max(spread_tg[t, g], sp)
+                maxcs_tg[t, g] = max(maxcs_tg[t, g], mc)
+            per_bg.append(row)
+        tile_geo.append((rm_list, per_bg))
+
+    need_max = int(need_tg.max())
+    resid_hi = None
+    for rs in WIDE3_RESID_CLASSES:
+        if rs <= win_rows and need_max <= rs \
+                and (force is None or rs >= force[2]):
+            resid_hi = rs
+            break
+    if resid_hi is None:
+        return None
+    if force is not None:
+        if force[2] < resid_hi or force[2] > win_rows \
+                or force[2] not in WIDE3_RESID_CLASSES:
+            return None
+        resid_hi = force[2]
+    ncs_hi = (win_rows - resid_hi) // 8
+
+    # choose the LO branch classes by a per-view cost model: a group
+    # costs nvv * (3*chain + C) vector ops (vsel select chain + the
+    # sweep's nvv-proportional gather chains)
+    def lo_mask(r, s):
+        return ((need_tg <= r) & (spread_tg <= s)
+                & (maxcs_tg <= (win_rows - r) // 8))
+
+    def total_cost(r, s):
+        m = lo_mask(r, s)
+        c_lo = (r // 8) * (3 * s + _WIDE3_SWEEP_COST)
+        c_hi = (resid_hi // 8) * (3 * ncs_hi + _WIDE3_SWEEP_COST)
+        return float(m.sum() * c_lo + (~m).sum() * c_hi), m
+
+    if force is not None:
+        resid_lo, spread_lo = force[1], force[3]
+        if spread_lo and (resid_lo not in WIDE3_RESID_CLASSES
+                          or spread_lo not in WIDE3_SPREAD_CLASSES
+                          or resid_lo > resid_hi):
+            return None
+        flags = ~lo_mask(resid_lo, spread_lo) if spread_lo \
+            else np.ones_like(need_tg, bool)
+    else:
+        best = None
+        for r in WIDE3_RESID_CLASSES:
+            if r > resid_hi:
+                break
+            for s in WIDE3_SPREAD_CLASSES:
+                cost, m = total_cost(r, s)
+                if best is None or cost < best[0]:
+                    best = (cost, r, s, m)
+        _, resid_lo, spread_lo, m = best
+        # single-branch when LO would serve <10% of groups: don't pay
+        # the second instantiation's compile for a dead branch
+        if m.mean() < 0.10:
+            resid_lo, spread_lo = resid_hi, 0
+            flags = np.ones_like(need_tg, bool)
+        else:
+            flags = ~m
+
+    tab = np.zeros((n_tiles, 3 + n_groups + mb), np.int32)
+    cs = np.zeros((n_tiles, mb, n_groups, 128), np.int32)
+    cap_hi = (win_rows - resid_hi) // 8
+    for t, (b0, nblk, anchor, _, _) in enumerate(tile_rows):
         tab[t, 0] = b0
         tab[t, 1] = nblk
         tab[t, 2] = anchor
+        rm_list, per_bg = tile_geo[t]
+        for g in range(n_groups):
+            tab[t, 3 + g] = 1 if flags[t, g] else 0
         for b in range(nblk):
-            rm = min(rms[b], rm_cap)
-            tab[t, 3 + b] = rm
+            tab[t, 3 + n_groups + b] = rm_list[b]
             for g in range(n_groups):
-                mn_tap, mx_tap, has = stats[b][g]
-                csb = np.clip((mn_tap - rm) // 8, 0, cs_cap)
-                # validated: taps must fit the residual window.  cs at
-                # the ceiling still covers rm + [8*cs, 8*cs + RS) =
-                # window top.
-                bad = has & (mx_tap > rm + 8 * csb + resid_rows - 1)
-                if bad.any():
-                    return None
-                cs[t, b, g] = np.where(has, csb, 0)
-    return win_rows, resid_rows, max_rounds, span_cls, tab, cs
+                csb, has, nd = per_bg[b][g]
+                if flags[t, g]:
+                    # HI: absolute chain — clamp to the class cap and
+                    # validate coverage (cs at the ceiling still covers
+                    # rm + [8*cs, 8*cs + resid_hi) = window bottom)
+                    csb = np.minimum(csb, cap_hi)
+                    mn_tap, mx_tap, hs = \
+                        tile_rows[t][4][b][g]
+                    bad = hs & (mx_tap > rm_list[b] + 8 * csb
+                                + resid_hi - 1)
+                    if bad.any():
+                        return None
+                cs[t, b, g] = csb
+    return (win_rows, resid_lo, resid_hi, spread_lo, max_rounds,
+            span_cls, tab, cs)
 
 
 _WIDE3_DEV_CACHE: dict = {}
@@ -2093,13 +2213,15 @@ def _wide3_tables_device(key, tabs: List[np.ndarray],
     hit = _WIDE3_DEV_CACHE.get(cache_key)
     if hit is not None:
         return hit
+    n_groups = TILE_ROWS // 8
     tab_rows = []
     cs_rows = []
     for tab, cs in zip(tabs, css):
         n_t, w_t = tab.shape
-        if w_t - 3 < mb:
+        if w_t - 3 - n_groups < mb:
             tab = np.concatenate(
-                [tab, np.zeros((n_t, mb - (w_t - 3)), np.int32)], axis=1)
+                [tab, np.zeros((n_t, mb - (w_t - 3 - n_groups)),
+                               np.int32)], axis=1)
             cs = np.concatenate(
                 [cs, np.zeros((n_t, mb - cs.shape[1]) + cs.shape[2:],
                               np.int32)], axis=1)
@@ -2144,9 +2266,47 @@ def _build_vsel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
     return vsel
 
 
+def _build_vsel_rel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
+                    resid_rows: int, spread: int):
+    """LO-branch vsel: the select chain runs over the group's LOCAL
+    chunk range [min(cs), min(cs) + spread] with dynamic-start row
+    reads, instead of every chunk in the window.  The planner backfills
+    invalid lanes with the group's valid minimum so ``jnp.min`` is the
+    true anchor, guarantees ``max(cs) - min(cs) <= spread``, and
+    guarantees selected chunks satisfy ``cs + vv < win_rows // 8``; the
+    clamp below only sanitises never-selected reads at the window
+    bottom."""
+    nvv = resid_rows // 8
+    top = win_rows // 8 - 1
+    cs_min = jnp.min(csb)
+    rel = csb - cs_min
+    masks = [rel == cval for cval in range(1, spread + 1)]
+
+    def read(c, chunk):
+        data = win_raw[slot, c,
+                       pl.ds(pl.multiple_of(chunk * 8, 8), 8),
+                       bi_lane0:bi_lane0 + TILE_COLS]
+        if data.dtype != jnp.float32:
+            data = data.astype(jnp.int32).astype(jnp.float32)
+        return data
+
+    vsel = []
+    for c in range(3):
+        per_vv = []
+        for vv in range(nvv):
+            tgt = read(c, jnp.minimum(cs_min + vv, top))
+            for cval in range(1, spread + 1):
+                data = read(c, jnp.minimum(cs_min + cval + vv, top))
+                tgt = jnp.where(masks[cval - 1], data, tgt)
+            per_vv.append(tgt)
+        vsel.append(per_vv)
+    return vsel
+
+
 def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
-                          x0, hw, y0, vw, rm_b, acc, *, win_rows: int,
-                          resid_rows: int, n_taps: int, koff: int,
+                          flag_g, x0, hw, y0, vw, rm_b, acc, *,
+                          win_rows: int, resid_lo: int, resid_hi: int,
+                          spread_lo: int, n_taps: int, koff: int,
                           src_h: int):
     """Accumulate one (de-sheared block, 8-row output group) into the
     output tile — every op a full (8, 128) vreg.
@@ -2178,18 +2338,20 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
     on a cheap touch test (does ANY tap column of this group land in
     this block?): multi-block tiles (fisheye rims sweep up to ~12
     blocks) would otherwise pay the full sweep for every
-    (block, group) pair whose weights are all zero."""
-    nvv = resid_rows // 8
+    (block, group) pair whose weights are all zero.
+
+    The per-(tile, group) branch flag then selects the LO body
+    (``resid_lo``-row residual window built by the short RELATIVE
+    select chain) or the HI body (``resid_hi`` with the full absolute
+    chain); ``spread_lo == 0`` compiles single-branch (all HI)."""
     rows = slice(g * 8, (g + 1) * 8)
     y0g = y0[rows]
     x0g = x0[rows]
     touch = (jnp.max(x0g) + koff + (n_taps - 1) >= bcol_local) \
         & (jnp.min(x0g) + koff < bcol_local + TILE_COLS)
 
-    @pl.when(touch)
-    def _():
-        vsel = _build_vsel(win_raw, slot, bi_lane0, csb,
-                           win_rows=win_rows, resid_rows=resid_rows)
+    def sweep(resid_rows, vsel):
+        nvv = resid_rows // 8
         jb = jnp.broadcast_to(x0g[3:4, :], (8, TILE_COLS))
         dx = x0g - jb
         dx_lo = jnp.min(dx)
@@ -2233,6 +2395,26 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
 
         jax.lax.fori_loop(0, dx_hi - dx_lo + n_taps, body, 0)
 
+    if spread_lo == 0:
+        @pl.when(touch)
+        def _():
+            sweep(resid_hi, _build_vsel(win_raw, slot, bi_lane0, csb,
+                                        win_rows=win_rows,
+                                        resid_rows=resid_hi))
+    else:
+        @pl.when(touch & (flag_g == 0))
+        def _():
+            sweep(resid_lo, _build_vsel_rel(win_raw, slot, bi_lane0,
+                                            csb, win_rows=win_rows,
+                                            resid_rows=resid_lo,
+                                            spread=spread_lo))
+
+        @pl.when(touch & (flag_g != 0))
+        def _():
+            sweep(resid_hi, _build_vsel(win_raw, slot, bi_lane0, csb,
+                                        win_rows=win_rows,
+                                        resid_rows=resid_hi))
+
 
 def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
                        view_f32_ref,     # (V, 16) f32 SMEM
@@ -2242,15 +2424,18 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
                        win_raw,          # scratch (3, 3, R, BPR*128)
                        acc,              # scratch (3, TILE_ROWS, 128)
                        sems,             # DMA semaphores (3, BPR)
-                       *, interp: str, win_rows: int, resid_rows: int,
+                       *, interp: str, win_rows: int, resid_lo: int,
+                       resid_hi: int, spread_lo: int,
                        src_w: int, src_h: int, geo_w: int, geo_h: int,
                        n_tiles_x: int, tiles_per_view: int,
                        projection: str, mb: int):
     """Wide-window warp v3 (see the section comment above).  DMA plan
     (per-(tile, block) windows, round-0 double-buffered across tiles,
     rare overflow rounds single-buffered) is wide2's; the resample is the
-    de-sheared fully-SIMD form."""
+    de-sheared fully-SIMD form with per-(tile, group) LO/HI residual
+    branches."""
     R = win_rows
+    NG = TILE_ROWS // 8
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
 
@@ -2264,7 +2449,7 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
         """Fetch block ``b`` (table row origin) into win_raw lane slot
         ``bi``; ``b`` may be traced (overflow rounds)."""
         b0n, _ = tile_tab(tt)
-        rm = pl.multiple_of((tab_ref[3 + b, tt] // 8) * 8, 8)
+        rm = pl.multiple_of((tab_ref[3 + NG + b, tt] // 8) * 8, 8)
         bcol = pl.multiple_of((b0n + b) * 128, 128)
         return pltpu.make_async_copy(
             src_hbm.at[:, pl.ds(rm, R), pl.ds(bcol, 128)],
@@ -2368,18 +2553,18 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
                                 (8, TILE_COLS))
 
     # ---- round 0 (double-buffered across tiles) ----
-    n_groups = TILE_ROWS // 8
     for bi in range(WIDE2_BPR):
         @pl.when(bi < nblk_t)
         def _(bi=bi):
             dma_blk(slot0, t, bi, bi).wait()
-            rm_b = tab_ref[3 + bi, t]
-            for g in range(n_groups):
+            rm_b = tab_ref[3 + NG + bi, t]
+            for g in range(NG):
                 _resample_group_wide3(
                     g, win_raw, slot0, bi * 128, block_cs(bi, g),
-                    (b0_t + bi) * 128, x0, hw, y0, vw, rm_b, acc,
-                    win_rows=R, resid_rows=resid_rows, n_taps=n_taps,
-                    koff=koff, src_h=src_h)
+                    (b0_t + bi) * 128, tab_ref[3 + g, t], x0, hw, y0,
+                    vw, rm_b, acc, win_rows=R, resid_lo=resid_lo,
+                    resid_hi=resid_hi, spread_lo=spread_lo,
+                    n_taps=n_taps, koff=koff, src_h=src_h)
 
     @pl.when((rounds_t <= 1) & (t + 1 < n_t))
     def _():
@@ -2401,13 +2586,15 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
 
                 @pl.when(b < nblk_t)
                 def _(bi=bi, b=b):
-                    rm_b = tab_ref[3 + b, t]
-                    for g in range(TILE_ROWS // 8):
+                    rm_b = tab_ref[3 + NG + b, t]
+                    for g in range(NG):
                         _resample_group_wide3(
                             g, win_raw, 2, bi * 128, block_cs(b, g),
-                            (b0_t + b) * 128, x0, hw, y0, vw, rm_b,
-                            acc, win_rows=R, resid_rows=resid_rows,
-                            n_taps=n_taps, koff=koff, src_h=src_h)
+                            (b0_t + b) * 128, tab_ref[3 + g, t], x0,
+                            hw, y0, vw, rm_b, acc, win_rows=R,
+                            resid_lo=resid_lo, resid_hi=resid_hi,
+                            spread_lo=spread_lo, n_taps=n_taps,
+                            koff=koff, src_h=src_h)
             return 0
 
         jax.lax.fori_loop(1, rounds_t, round_body, 0)
@@ -2428,11 +2615,12 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "true_w", "true_h", "src_w",
-                     "src_h", "interp", "win_rows", "resid_rows",
+                     "src_h", "interp", "win_rows", "resid_lo",
+                     "resid_hi", "spread_lo",
                      "n_views", "projection", "mb", "interpret"))
 def _warp_call_wide3(src_rows, view_f32, tab, cs, *, width, height,
                      true_w, true_h, src_w, src_h, interp, win_rows,
-                     resid_rows, n_views, mb,
+                     resid_lo, resid_hi, spread_lo, n_views, mb,
                      projection="perspective", interpret=False):
     n_tiles_x = width // TILE_COLS
     tiles_per_view = (height // TILE_ROWS) * n_tiles_x
@@ -2440,7 +2628,7 @@ def _warp_call_wide3(src_rows, view_f32, tab, cs, *, width, height,
 
     kernel = functools.partial(
         _warp_kernel_wide3, interp=interp, win_rows=win_rows,
-        resid_rows=resid_rows,
+        resid_lo=resid_lo, resid_hi=resid_hi, spread_lo=spread_lo,
         src_w=src_w, src_h=src_h, geo_w=true_w,
         geo_h=true_h, n_tiles_x=n_tiles_x, tiles_per_view=tiles_per_view,
         projection=projection, mb=mb)
@@ -2948,27 +3136,44 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
             if not all(p is not None for p in w3_plans):
                 w3_plans = None
         if w3_plans is not None:
-            win_rows_w3 = max(p[0] for p in w3_plans)
-            resid_w3 = max(p[1] for p in w3_plans)
-            mb_w3 = max(p[2] for p in w3_plans) * WIDE2_BPR
-
-            # clamp cs to the CALL-level chunk cap: safe (the residual
-            # window only grows downward within the call-level class)
-            cs_cap = (win_rows_w3 - resid_w3) // 8
-            tkey = ("widev3d",
+            win_w3 = max(p[0] for p in w3_plans)
+            rlo_w3 = max(p[1] for p in w3_plans)
+            rhi_w3 = max(p[2] for p in w3_plans)
+            slo_w3 = max(p[3] for p in w3_plans)
+            mb_w3 = max(p[4] for p in w3_plans) * WIDE2_BPR
+            if slo_w3 == 0:
+                rlo_w3 = rhi_w3
+            fkey = (win_w3, rlo_w3, rhi_w3, slo_w3)
+            # views whose per-view classes differ from the call-level
+            # maxima are RE-PLANNED with the classes pinned, so flags
+            # and caps in their tables are exactly consistent with the
+            # kernel statics (no after-the-fact clamping)
+            for k, i in enumerate(wide_idx):
+                p = w3_plans[k]
+                if (p[0], p[1], p[2], p[3]) != fkey:
+                    w3_plans[k] = _wide3_plan_view(
+                        out_w, out_h, float(hfov_deg), float(vfov_deg),
+                        float(yaws[i]), float(pitches[i]),
+                        float(rolls[i]), src_w, src_h, width, height,
+                        projection, interp, force=fkey)
+            if not all(p is not None for p in w3_plans):
+                w3_plans = None
+        if w3_plans is not None:
+            tkey = ("widev3e",
                     tuple((float(yaws[i]), float(pitches[i]),
                            float(rolls[i])) for i in wide_idx),
                     float(hfov_deg), float(vfov_deg), out_w, out_h,
                     width, height, src_w, src_h, projection, interp,
-                    win_rows_w3, resid_w3, mb_w3)
+                    fkey, mb_w3)
             tab3, cs3 = _wide3_tables_device(
-                tkey, [p[4] for p in w3_plans],
-                [np.minimum(p[5], cs_cap) for p in w3_plans], mb_w3)
+                tkey, [p[6] for p in w3_plans],
+                [p[7] for p in w3_plans], mb_w3)
             parts.append(crop(_warp_call_wide3(
                 planar_src, view_table(wide_budgets), tab3, cs3,
                 width=out_w, height=out_h, true_w=width, true_h=height,
                 src_w=src_w, src_h=src_h, interp=interp,
-                win_rows=win_rows_w3, resid_rows=resid_w3,
+                win_rows=win_w3, resid_lo=rlo_w3, resid_hi=rhi_w3,
+                spread_lo=slo_w3,
                 n_views=len(wide_budgets), mb=mb_w3,
                 projection=projection, interpret=interpret)))
             w2_plans = None

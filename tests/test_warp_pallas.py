@@ -304,10 +304,11 @@ class TestWide3Kernel:
             self.W, self.H, self.HF, self.VF, y, p, r, 512, 256,
             self.W, self.H, "perspective", interp)
         assert plan is not None
-        win_rows, resid_rows, max_rounds, span_cls, tab, cs = plan
-        assert resid_rows in warp_pallas.WIDE3_RESID_CLASSES
+        (win_rows, resid_lo, resid_hi, spread_lo, max_rounds, span_cls,
+         tab, cs) = plan
+        assert resid_hi in warp_pallas.WIDE3_RESID_CLASSES
         assert span_cls in warp_pallas.WIDE3_SHEAR_CLASSES
-        assert int(cs.max()) <= (win_rows - resid_rows) // 8
+        assert int(cs.max()) <= (win_rows - min(resid_lo, resid_hi)) // 8
         mb = max_rounds * warp_pallas.WIDE2_BPR
         planar_src = warp_pallas._planar_source(
             SRC.reshape(256, 512 * 3), interpret=True,
@@ -323,7 +324,8 @@ class TestWide3Kernel:
             planar_src, jnp.asarray(table), tab3, cs3,
             width=self.W, height=self.H, true_w=self.W, true_h=self.H,
             src_w=512, src_h=256, interp=interp, win_rows=win_rows,
-            resid_rows=resid_rows, n_views=1,
+            resid_lo=resid_lo, resid_hi=resid_hi, spread_lo=spread_lo,
+            n_views=1,
             mb=mb, projection="perspective", interpret=True)
         # planar (1, 3, H, W) -> HWC
         return np.transpose(np.asarray(out), (0, 2, 3, 1))
@@ -364,7 +366,8 @@ class TestWide3Kernel:
             128, 128, 100.0, 100.0, 20.0, 35.0, 0.0, 512, 256, 128, 128,
             "perspective", "bicubic")
         assert plan is not None
-        win_rows, resid_rows, _, _, tab, cs = plan
+        win_rows, resid_lo, resid_hi, spread_lo, _, _, tab, cs = plan
+        ng = warp_pallas.TILE_ROWS // 8
         rot = warp_pallas._rot_matrix(20.0, 35.0, 0.0)
         u, v = warp_pallas._np_view_coords_strided(
             128, 128, 100.0, 100.0, rot, 512, 256, stride=1,
@@ -381,10 +384,11 @@ class TestWide3Kernel:
             x0 = np.floor(ua).astype(np.int64)
             y0t = y0[ty * TR:(ty + 1) * TR, tx * TC:(tx + 1) * TC]
             for b in range(nblk):
-                rm = int(tab[t, 3 + b])
+                rm = int(tab[t, 3 + ng + b])
                 bcol = (b0 + b) * 128
                 for g in range(TR // 8):
                     gr = slice(g * 8, (g + 1) * 8)
+                    resid_g = resid_hi if tab[t, 3 + g] else resid_lo
                     for k in range(4):
                         xi = x0[gr] + (k - 1)
                         m = (xi >= bcol) & (xi < bcol + 128)
@@ -395,7 +399,7 @@ class TestWide3Kernel:
                         taps_lo = np.clip(y0t[gr][m] - 1, 0, 255)
                         taps_hi = np.clip(y0t[gr][m] + 2, 0, 255)
                         assert (taps_lo >= lo).all()
-                        assert (taps_hi <= lo + resid_rows - 1).all()
+                        assert (taps_hi <= lo + resid_g - 1).all()
 
     def test_public_dispatch_routes_wide3(self):
         # narrow/tilt reject this (steep horizontal slope at lat -50),
