@@ -169,6 +169,42 @@ def main():
         log(f"[bench] per-class bench failed: {type(exc).__name__}: "
             f"{str(exc)[:300]}")
 
+    # dual-fisheye SFM10 remap chain (the reference's cv2.remap hot
+    # loop at 1750 px) — measured here too so the driver-recorded JSON
+    # carries it, not just bench_remap.py
+    try:
+        from gs360x import templates
+        from gs360x.tools import dualfisheye as df
+        from gs360x.kernels import remap_pallas
+
+        size = templates.OSMO360_SENSOR_PX
+        calib_path = templates.default_osmo360_calibration_path()
+        if not calib_path.exists():
+            templates.write_osmo360_default_calibration(calib_path)
+        sensor_map, _ = df.load_metashape_calibration(calib_path)
+        calib = next(iter(sensor_map.values()))
+        spec = df.build_sfm10_specs(1750, 12.0, "36 36", 45.0, 45.0)[0]
+        mx, my, valid = df.build_direct_perspective_map(
+            calib, spec["yaw_deg"], spec["pitch_deg"], spec["hfov_deg"],
+            spec["vfov_deg"], 1750, 1750, 190.0)
+        prep = remap_pallas.PreparedRemap(
+            mx, my, valid.astype(np.float32), src_w=size, src_h=size)
+        fe_rows = jnp.asarray((rng.random((size, size * 3)) * 255)
+                              .astype(np.uint8))
+        fe_rows.block_until_ready()
+
+        def sync_hwc(out):
+            return float(out[..., 0].sum())
+
+        per = timed_throughput(lambda: prep(fe_rows, interp="bicubic"),
+                               sync_hwc, reps=5)
+        classes["sfm10_remap"] = 1.0 / per
+        log(f"[bench] class sfm10_remap: {classes['sfm10_remap']:.1f} "
+            f"views/s")
+    except Exception as exc:
+        log(f"[bench] sfm10 remap bench failed: {type(exc).__name__}: "
+            f"{str(exc)[:300]}")
+
     if not results:
         print(json.dumps({"metric": "8K->1080p perspective cuts/sec/chip",
                           "value": 0.0, "unit": "views/s",
