@@ -401,6 +401,47 @@ class TestWide3Kernel:
                         assert (taps_lo >= lo).all()
                         assert (taps_hi <= lo + resid_g - 1).all()
 
+    def test_single_branch_mode_matches_xla(self):
+        # force spread_lo=0 (all groups on the HI/absolute chain): the
+        # kernel's single-branch instantiation must agree with the twin
+        import math
+        y, p, r = self.YPR
+        base = warp_pallas._wide3_plan_view(
+            self.W, self.H, self.HF, self.VF, y, p, r, 512, 256,
+            self.W, self.H, "perspective", "bicubic")
+        plan = warp_pallas._wide3_plan_view(
+            self.W, self.H, self.HF, self.VF, y, p, r, 512, 256,
+            self.W, self.H, "perspective", "bicubic",
+            force=(base[0], base[2], base[2], 0))
+        assert plan is not None and plan[3] == 0
+        (win_rows, resid_lo, resid_hi, spread_lo, max_rounds, _,
+         tab, cs) = plan
+        assert (tab[:, 3:3 + warp_pallas.TILE_ROWS // 8] == 1).all()
+        mb = max_rounds * warp_pallas.WIDE2_BPR
+        planar_src = warp_pallas._planar_source(
+            SRC.reshape(256, 512 * 3), interpret=True,
+            max_win_cols=warp_pallas.TILT_WIN_COLS)
+        rot = warp_pallas._rot_matrix(y, p, r)
+        table = np.zeros((1, 16), np.float32)
+        table[0, 0:9] = rot.astype(np.float32).reshape(-1)
+        table[0, 9] = math.tan(math.radians(self.HF) / 2.0)
+        table[0, 10] = math.tan(math.radians(self.VF) / 2.0)
+        tab3, cs3 = warp_pallas._wide3_tables_device(
+            ("test-w3-single", self.W, self.H), [tab], [cs], mb)
+        out = warp_pallas._warp_call_wide3(
+            planar_src, jnp.asarray(table), tab3, cs3,
+            width=self.W, height=self.H, true_w=self.W, true_h=self.H,
+            src_w=512, src_h=256, interp="bicubic", win_rows=win_rows,
+            resid_lo=resid_lo, resid_hi=resid_hi, spread_lo=0,
+            n_views=1, mb=mb, projection="perspective", interpret=True)
+        out = np.transpose(np.asarray(out), (0, 2, 3, 1))
+        ref = np.asarray(warp.warp_equirect_to_views(
+            SRC, np.array([y], np.float32), np.array([p], np.float32),
+            np.array([r], np.float32), interp="bicubic", backend="xla",
+            width=self.W, height=self.H, hfov_deg=self.HF,
+            vfov_deg=self.VF))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
     def test_public_dispatch_routes_wide3(self):
         # narrow/tilt reject this (steep horizontal slope at lat -50),
         # wide2 AND wide3 plan it -> dispatch must build the per-group
