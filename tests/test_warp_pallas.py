@@ -442,6 +442,50 @@ class TestWide3Kernel:
             vfov_deg=self.VF))
         np.testing.assert_allclose(out, ref, atol=1e-4)
 
+    def test_mixed_branch_deep_shear_matches_xla(self):
+        # pitch-60 110-deg geometry: rlo=24 / rhi=40 with ~half the
+        # groups on each branch and shear spans near the class cap —
+        # exercises the deep HI absolute chains and the LO relative
+        # chain side by side in one call
+        import math
+        W, H, HF, VF = 384, 64, 110.0, 30.0
+        y, p, r = 20.0, 60.0, 0.0
+        src = lonlat_pano(1024, 512)
+        plan = warp_pallas._wide3_plan_view(
+            W, H, HF, VF, y, p, r, 1024, 512, W, H,
+            "perspective", "bicubic")
+        assert plan is not None
+        (win_rows, resid_lo, resid_hi, spread_lo, max_rounds, _,
+         tab, cs) = plan
+        ng = warp_pallas.TILE_ROWS // 8
+        flags = tab[:, 3:3 + ng]
+        assert spread_lo > 0 and resid_lo < resid_hi
+        assert 0.2 < (flags == 1).mean() < 0.8   # genuinely mixed
+        mb = max_rounds * warp_pallas.WIDE2_BPR
+        planar_src = warp_pallas._planar_source(
+            src.reshape(512, 1024 * 3), interpret=True,
+            max_win_cols=warp_pallas.TILT_WIN_COLS)
+        rot = warp_pallas._rot_matrix(y, p, r)
+        table = np.zeros((1, 16), np.float32)
+        table[0, 0:9] = rot.astype(np.float32).reshape(-1)
+        table[0, 9] = math.tan(math.radians(HF) / 2.0)
+        table[0, 10] = math.tan(math.radians(VF) / 2.0)
+        tab3, cs3 = warp_pallas._wide3_tables_device(
+            ("test-w3-mixed", W, H), [tab], [cs], mb)
+        out = warp_pallas._warp_call_wide3(
+            planar_src, jnp.asarray(table), tab3, cs3,
+            width=W, height=H, true_w=W, true_h=H,
+            src_w=1024, src_h=512, interp="bicubic",
+            win_rows=win_rows, resid_lo=resid_lo, resid_hi=resid_hi,
+            spread_lo=spread_lo, n_views=1, mb=mb,
+            projection="perspective", interpret=True)
+        out = np.transpose(np.asarray(out), (0, 2, 3, 1))
+        ref = np.asarray(warp.warp_equirect_to_views(
+            src, np.array([y], np.float32), np.array([p], np.float32),
+            np.array([r], np.float32), interp="bicubic", backend="xla",
+            width=W, height=H, hfov_deg=HF, vfov_deg=VF))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
     def test_public_dispatch_routes_wide3(self):
         # narrow/tilt reject this (steep horizontal slope at lat -50),
         # wide2 AND wide3 plan it -> dispatch must build the per-group
