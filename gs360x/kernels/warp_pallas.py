@@ -1953,7 +1953,6 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
     # pass 1: per-tile blocks + per-(block, column) tap-row extrema
     tile_rows: list = []          # (b0, nblk, anchor, [rm_b], [stats_b])
     span_max = 0.0
-    colspan_max = 0
     nblk_max = 1
     shear_span = 0
     for ty in range(n_ty):
@@ -2029,10 +2028,6 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
                 mx_tap = np.where(
                     has, np.minimum(mx + koff + n_taps - 1, src_h - 1),
                     -1)
-                colspan_max = max(
-                    colspan_max,
-                    int((mx_tap - mn_tap)[has].max()) if has.any()
-                    else 0)
                 g_stats.append((mn_tap, mx_tap, has))
             rms = []
             stats = []
