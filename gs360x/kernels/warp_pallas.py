@@ -2150,15 +2150,27 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
         flags = ~lo_mask(resid_lo, spread_lo) if spread_lo \
             else np.ones_like(need_tg, bool)
     else:
-        best = None
-        for r in WIDE3_RESID_CLASSES:
-            if r > resid_hi:
-                break
-            for s in WIDE3_SPREAD_CLASSES:
-                cost, m = total_cost(r, s)
-                if best is None or cost < best[0]:
-                    best = (cost, r, s, m)
-        _, resid_lo, spread_lo, m = best
+        # tuning knob: GS360X_WIDE3_LO="resid,spread" pins the LO
+        # class pair; "off" forces single-branch.  Read at PLAN time —
+        # plans are lru_cached, so set it before the first call of a
+        # fresh process (the A/B harness runs one process per setting)
+        env_lo = _os.environ.get("GS360X_WIDE3_LO", "")
+        if env_lo == "off":
+            m = np.zeros_like(need_tg, bool)
+            resid_lo, spread_lo = resid_hi, 1
+        elif env_lo:
+            resid_lo, spread_lo = (int(x) for x in env_lo.split(","))
+            _, m = total_cost(resid_lo, spread_lo)
+        else:
+            best = None
+            for r in WIDE3_RESID_CLASSES:
+                if r > resid_hi:
+                    break
+                for s in WIDE3_SPREAD_CLASSES:
+                    cost, m = total_cost(r, s)
+                    if best is None or cost < best[0]:
+                        best = (cost, r, s, m)
+            _, resid_lo, spread_lo, m = best
         # single-branch when LO would serve <10% of groups: don't pay
         # the second instantiation's compile for a dead branch
         if m.mean() < 0.10:
