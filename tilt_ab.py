@@ -14,6 +14,10 @@ Usage::
 
 ``GS360X_WIDE3=0`` routes wide-class views to wide2; default is wide3.
 The script flips the env var itself between passes.
+
+LO-class tuning: run one process per setting (plans are lru_cached), e.g.
+``GS360X_WIDE3_LO=24,4 python tilt_ab.py tilt`` or ``...LO=off`` for the
+single-branch ablation.
 """
 import argparse
 import os
