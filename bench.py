@@ -68,11 +68,28 @@ def _probe_device(timeout_s: float = 300.0) -> bool:
 def main():
     if not _probe_device():
         log("[bench] device init probe failed/timed out (tunnel down?)")
-        print(json.dumps({
+        payload = {
             "metric": "8K->1080p perspective cuts/sec/chip "
                       "(8-view bicubic warp)",
             "value": 0.0, "unit": "views/s", "vs_baseline": 0.0,
-            "error": "device init timeout"}))
+            "error": "device init timeout"}
+        # surface the last recorded round's number so an infra outage
+        # is distinguishable from a perf regression (value stays 0)
+        import glob
+        import os
+        prior = sorted(glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_r*.json")))
+        if prior:
+            try:
+                with open(prior[-1]) as fh:
+                    last = json.load(fh)
+                payload["last_recorded"] = {
+                    "file": os.path.basename(prior[-1]),
+                    "value": last.get("value")}
+            except Exception:
+                pass
+        print(json.dumps(payload))
         return 1
 
     import jax
