@@ -84,6 +84,7 @@ def main():
             try:
                 with open(prior[-1]) as fh:
                     last = json.load(fh)
+                last = last.get("parsed", last)   # driver wraps it
                 payload["last_recorded"] = {
                     "file": os.path.basename(prior[-1]),
                     "value": last.get("value")}
