@@ -486,6 +486,33 @@ class TestWide3Kernel:
             width=W, height=H, hfov_deg=HF, vfov_deg=VF))
         np.testing.assert_allclose(out, ref, atol=1e-4)
 
+    def test_mixed_view_force_replan_matches_xla(self):
+        # two wide views whose per-view plans disagree on win_rows,
+        # resid_hi AND spread_lo (pitch -35: 96/32/32/4; pitch -60:
+        # 152/32/40/8) — the dispatch must re-plan the outlier with the
+        # call-level classes pinned and still match the twin
+        src = lonlat_pano(1024, 512)
+        kw = dict(width=256, height=32, hfov_deg=100.0, vfov_deg=25.0)
+        p_a = warp_pallas._wide3_plan_view(
+            256, 32, 100.0, 25.0, 20.0, -35.0, 0.0, 1024, 512, 256, 32,
+            "perspective", "bicubic")
+        p_b = warp_pallas._wide3_plan_view(
+            256, 32, 100.0, 25.0, 20.0, -60.0, 0.0, 1024, 512, 256, 32,
+            "perspective", "bicubic")
+        assert p_a is not None and p_b is not None
+        assert (p_a[0], p_a[2], p_a[3]) != (p_b[0], p_b[2], p_b[3])
+        yaws = np.array([20.0, 20.0])
+        pitches = np.array([-35.0, -60.0])
+        rolls = np.zeros(2)
+        ref = np.asarray(warp.warp_equirect_to_views(
+            src, yaws.astype(np.float32), pitches.astype(np.float32),
+            rolls.astype(np.float32), interp="bicubic", backend="xla",
+            **kw))
+        out = warp_pallas.warp_equirect_to_views_pallas(
+            src, yaws, pitches, rolls, interp="bicubic",
+            interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
     def test_public_dispatch_routes_wide3(self):
         # narrow/tilt reject this (steep horizontal slope at lat -50),
         # wide2 AND wide3 plan it -> dispatch must build the per-group
