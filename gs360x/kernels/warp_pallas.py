@@ -1490,90 +1490,105 @@ def _wide2_tables_device(key, tabs: List[np.ndarray]):
     return val
 
 
+def _resample_group_chunkloop(win_raw, slot, bi_lane0, bcol_local,
+                              x0g_gi, hwg_gi, y0, vw, vcl, rm_b, acc,
+                              gi, *, R: int, n_taps: int, koff: int):
+    """One (column-block, 8-row output group) of the wide2 chunk-loop
+    resample.  ``x0g_gi``/``hwg_gi``: this group's hoisted (64,128) tap
+    columns / weights (absolute padded columns); ``bi_lane0`` the
+    block's lane offset inside win_raw; ``y0``/``vw``/``vcl``:
+    (TILE_ROWS,128) vertical tap state in ABSOLUTE source rows;
+    ``rm_b`` this block's window-row origin.  Shared by the wide2
+    kernel (all groups) and wide3's chunk branch (fisheye pole/rim
+    groups whose valid taps sweep too many columns for the de-sheared
+    SIMD form)."""
+    GROUP = 8
+    rows = slice(gi * GROUP, (gi + 1) * GROUP)
+    rm_f = rm_b.astype(jnp.float32)
+    # cheap pre-gate: does ANY lane of this group tap this block?
+    xi_lo = x0g_gi + koff
+    inblk_any = (xi_lo + (n_taps - 1) >= bcol_local) \
+        & (xi_lo < bcol_local + TILE_COLS)
+    vg = jnp.concatenate(
+        [jnp.broadcast_to(vcl[i:i + 1, :], (8, TILE_COLS))
+         for i in range(gi * GROUP, (gi + 1) * GROUP)], axis=0)
+    vmin = jnp.min(jnp.where(inblk_any, vg, jnp.inf)) - rm_f
+    vmax = jnp.max(jnp.where(inblk_any, vg, -jnp.inf)) - rm_f
+    any_hit = vmax >= vmin
+
+    @pl.when(any_hit)
+    def _(vmin=vmin, vmax=vmax):
+        # hoisted per (group, tap): in-block lanes + masked weights
+        relb = []
+        wfb = []
+        for k in range(n_taps):
+            xi = x0g_gi + (k + koff)
+            inb = (xi >= bcol_local) & (xi < bcol_local + TILE_COLS)
+            relb.append(jnp.clip(xi - bcol_local, 0, TILE_COLS - 1))
+            wfb.append(jnp.where(inb, hwg_gi[k], 0.0))
+        lo = jnp.floor(vmin).astype(jnp.int32) - 1
+        hi = jnp.floor(vmax).astype(jnp.int32) + 2
+        tg_lo = jnp.clip(lo // 8, 0, R // 8 - 1)
+        tg_hi = jnp.clip(hi // 8 + 1, 1, R // 8)
+        ym = [[jnp.clip(y0[i:i + 1, :] + (m + koff) - rm_b, 0, R - 1)
+               for m in range(n_taps)]
+              for i in range(gi * GROUP, (gi + 1) * GROUP)]
+        vwr = [[vw[m][i:i + 1, :] for m in range(n_taps)]
+               for i in range(gi * GROUP, (gi + 1) * GROUP)]
+
+        def chunk_body(tchunk, accs, relb=relb, wfb=wfb, ym=ym,
+                       vwr=vwr):
+            r0 = pl.multiple_of(tchunk * 8, 8)
+            ry = [[jnp.broadcast_to(jnp.clip(ym[r][m] - r0, 0, 7),
+                                    (8, TILE_COLS))
+                   for m in range(n_taps)] for r in range(GROUP)]
+            wv = [[jnp.where((ym[r][m] // 8) == tchunk, vwr[r][m],
+                             0.0)
+                   for m in range(n_taps)] for r in range(GROUP)]
+            out = []
+            for c in range(3):
+                blk = win_raw[slot, c, pl.ds(r0, 8),
+                              bi_lane0:bi_lane0 + TILE_COLS]
+                rep = jnp.concatenate([blk] * GROUP, axis=0)
+                ih = None
+                for k in range(n_taps):
+                    term = jnp.take_along_axis(rep, relb[k], axis=1) \
+                        * wfb[k]
+                    ih = term if ih is None else ih + term
+                adds = []
+                for r in range(GROUP):
+                    ih_r = ih[r * 8:(r + 1) * 8, :]
+                    add = None
+                    for m in range(n_taps):
+                        gv = jnp.take_along_axis(
+                            ih_r, ry[r][m], axis=0)[0:1, :]
+                        term = gv * wv[r][m]
+                        add = term if add is None else add + term
+                    adds.append(add)
+                out.append(accs[c] + jnp.concatenate(adds, axis=0))
+            return tuple(out)
+
+        init = tuple(acc[c, rows, :] for c in range(3))
+        vals = jax.lax.fori_loop(tg_lo, tg_hi, chunk_body, init)
+        for c in range(3):
+            acc[c, rows, :] = vals[c]
+
+
 def _resample_tile_block(win_raw, slot, bi, bcol_local, x0g, hwg, y0, vw,
                          vcl, rm_b, acc, *, R: int, n_taps: int, koff: int):
     """Accumulate one column-block's contribution to the output tile.
 
     ``x0g``/``hwg``: per-group hoisted (64,128) tap columns / weights
     (absolute padded columns); ``bcol_local`` the block's absolute base
-    column; ``y0``/``vw``/``vcl``: (TILE_ROWS,128) vertical tap state in
-    ABSOLUTE source rows; ``rm_b`` this block's window-row origin.  The
-    inner loop mirrors ``_resample_tile_planar``'s proven (chunk, ch,
-    tap) structure, restricted to one 128-col block with its own row
-    origin — the per-(tile, block) window is what keeps the v-state and
-    the chunk trip count local."""
-    GROUP = 8
-    n_groups = TILE_ROWS // GROUP
-    rm_f = rm_b.astype(jnp.float32)
-    for gi in range(n_groups):
-        rows = slice(gi * GROUP, (gi + 1) * GROUP)
-        # cheap pre-gate: does ANY lane of this group tap this block?
-        xi_lo = x0g[gi] + koff
-        inblk_any = (xi_lo + (n_taps - 1) >= bcol_local) \
-            & (xi_lo < bcol_local + TILE_COLS)
-        vg = jnp.concatenate(
-            [jnp.broadcast_to(vcl[i:i + 1, :], (8, TILE_COLS))
-             for i in range(gi * GROUP, (gi + 1) * GROUP)], axis=0)
-        vmin = jnp.min(jnp.where(inblk_any, vg, jnp.inf)) - rm_f
-        vmax = jnp.max(jnp.where(inblk_any, vg, -jnp.inf)) - rm_f
-        any_hit = vmax >= vmin
-
-        @pl.when(any_hit)
-        def _(gi=gi, rows=rows, vmin=vmin, vmax=vmax):
-            # hoisted per (group, tap): in-block lanes + masked weights
-            relb = []
-            wfb = []
-            for k in range(n_taps):
-                xi = x0g[gi] + (k + koff)
-                inb = (xi >= bcol_local) & (xi < bcol_local + TILE_COLS)
-                relb.append(jnp.clip(xi - bcol_local, 0, TILE_COLS - 1))
-                wfb.append(jnp.where(inb, hwg[gi][k], 0.0))
-            lo = jnp.floor(vmin).astype(jnp.int32) - 1
-            hi = jnp.floor(vmax).astype(jnp.int32) + 2
-            tg_lo = jnp.clip(lo // 8, 0, R // 8 - 1)
-            tg_hi = jnp.clip(hi // 8 + 1, 1, R // 8)
-            ym = [[jnp.clip(y0[i:i + 1, :] + (m + koff) - rm_b, 0, R - 1)
-                   for m in range(n_taps)]
-                  for i in range(gi * GROUP, (gi + 1) * GROUP)]
-            vwr = [[vw[m][i:i + 1, :] for m in range(n_taps)]
-                   for i in range(gi * GROUP, (gi + 1) * GROUP)]
-
-            def chunk_body(tchunk, accs, relb=relb, wfb=wfb, ym=ym,
-                           vwr=vwr):
-                r0 = pl.multiple_of(tchunk * 8, 8)
-                ry = [[jnp.broadcast_to(jnp.clip(ym[r][m] - r0, 0, 7),
-                                        (8, TILE_COLS))
-                       for m in range(n_taps)] for r in range(GROUP)]
-                wv = [[jnp.where((ym[r][m] // 8) == tchunk, vwr[r][m],
-                                 0.0)
-                       for m in range(n_taps)] for r in range(GROUP)]
-                out = []
-                for c in range(3):
-                    blk = win_raw[slot, c, pl.ds(r0, 8),
-                                  bi * TILE_COLS:(bi + 1) * TILE_COLS]
-                    rep = jnp.concatenate([blk] * GROUP, axis=0)
-                    ih = None
-                    for k in range(n_taps):
-                        term = jnp.take_along_axis(rep, relb[k], axis=1) \
-                            * wfb[k]
-                        ih = term if ih is None else ih + term
-                    adds = []
-                    for r in range(GROUP):
-                        ih_r = ih[r * 8:(r + 1) * 8, :]
-                        add = None
-                        for m in range(n_taps):
-                            gv = jnp.take_along_axis(
-                                ih_r, ry[r][m], axis=0)[0:1, :]
-                            term = gv * wv[r][m]
-                            add = term if add is None else add + term
-                        adds.append(add)
-                    out.append(accs[c] + jnp.concatenate(adds, axis=0))
-                return tuple(out)
-
-            init = tuple(acc[c, rows, :] for c in range(3))
-            vals = jax.lax.fori_loop(tg_lo, tg_hi, chunk_body, init)
-            for c in range(3):
-                acc[c, rows, :] = vals[c]
+    column.  The inner loop mirrors ``_resample_tile_planar``'s proven
+    (chunk, ch, tap) structure, restricted to one 128-col block with its
+    own row origin — the per-(tile, block) window is what keeps the
+    v-state and the chunk trip count local (see
+    :func:`_resample_group_chunkloop` for the group body)."""
+    for gi in range(TILE_ROWS // 8):
+        _resample_group_chunkloop(
+            win_raw, slot, bi * TILE_COLS, bcol_local, x0g[gi], hwg[gi],
+            y0, vw, vcl, rm_b, acc, gi, R=R, n_taps=n_taps, koff=koff)
 
 
 def _warp_kernel_wide2(tab_ref,          # scalar-prefetch (2+BPR, n_tiles)
@@ -1872,6 +1887,19 @@ WIDE3_RESID_CLASSES = (16, 24, 32, 40, 48, 56, 64)
 WIDE3_SHEAR_CLASSES = (4, 8, 16, 24)
 WIDE3_SPREAD_CLASSES = (1, 2, 4, 6, 8, 12, 16)
 _WIDE3_SWEEP_COST = 24.0   # rough sweep ops per nvv unit (cost model)
+# fisheye outputs: cs tables are stored for the first WIDE3_CS_BLOCKS
+# column-blocks only (pano-pole tiles sweep ~src_w/128 blocks — an
+# uncapped (n_tiles, MB, G, 128) cs would cost 100s of MB); groups whose
+# valid taps reach beyond the cap run the chunk-loop branch instead
+WIDE3_CS_BLOCKS = 8
+# per-(tile, group) branch flags in the wide3 table
+WIDE3_FLAG_LO = 0
+WIDE3_FLAG_HI = 1
+WIDE3_FLAG_CHUNK = 2      # fisheye pole/rim groups: wide2's chunk loop
+# a view falls back to wide2 entirely when more than this fraction of
+# its valid groups would run the chunk branch (the wide3 instantiation
+# would mostly execute wide2 bodies, at a bigger code size)
+_WIDE3_CHUNK_FRAC_MAX = 0.5
 
 
 @functools.lru_cache(maxsize=1024)
@@ -1909,13 +1937,28 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
     ``(resid_lo, spread_lo)`` minimise a per-view cost model over the
     class grids; ``spread_lo == 0`` signals single-branch (all HI).
 
+    **Chunk branch (fisheye outputs).** Shear and residual stats are
+    VALID-masked, and groups that still can't be served SIMD — the
+    pano pole sits inside a d>=180 fisheye circle, so pole/rim groups
+    legitimately sweep thousands of source columns — get flag
+    ``WIDE3_FLAG_CHUNK`` and run wide2's proven chunk-loop body
+    in-kernel instead of failing the whole view.  Their cs entries are
+    unused, and cs storage is capped at ``WIDE3_CS_BLOCKS`` blocks
+    (groups whose valid taps reach beyond the cap are chunk by
+    construction).  A view whose chunk fraction over valid groups
+    exceeds ``_WIDE3_CHUNK_FRAC_MAX`` falls back to wide2 wholesale.
+    Perspective views keep the strict all-or-nothing policy (their
+    valid mask is all-True, so masked == unmasked stats).
+
     ``tab`` is (n_tiles, 3 + G + MB) i32 with G = TILE_ROWS // 8:
-    ``[b0, nblk, anchor, flag_g0..flag_g{G-1}, rm_0..rm_{MB-1}]``;
-    ``cs`` is (n_tiles, MB, G, 128) i32 — per (tile, block, group,
-    in-block source column) the 8-aligned chunk offset of the
-    de-sheared residual window relative to the block's ``rm``, with
-    invalid lanes backfilled to the group's valid minimum (the LO
-    branch derives its chain anchor from ``min(cs)`` in-kernel).
+    ``[b0, nblk, anchor, flag_g0..flag_g{G-1}, rm_0..rm_{MB-1}]``
+    (flags: 0 LO, 1 HI, 2 chunk); ``cs`` is (n_tiles, CSB, G, 128) i32
+    with CSB = MB for perspective, min(MB, WIDE3_CS_BLOCKS) for
+    fisheye — per (tile, block, group, in-block source column) the
+    8-aligned chunk offset of the de-sheared residual window relative
+    to the block's ``rm``, with invalid lanes backfilled to the
+    group's valid minimum (the LO branch derives its chain anchor from
+    ``min(cs)`` in-kernel).
 
     ``force=(win_rows, resid_lo, resid_hi, spread_lo)`` re-plans with
     pinned call-level classes so a mixed-view dispatch can make every
@@ -1950,11 +1993,18 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
     vm4 = valid.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
     plain_anchor = src_w // 2 + 4
 
+    is_fish = projection != "perspective"
+    n_groups_c = TILE_ROWS // 8
+
     # pass 1: per-tile blocks + per-(block, column) tap-row extrema
     tile_rows: list = []          # (b0, nblk, anchor, [rm_b], [stats_b])
     span_max = 0.0
     nblk_max = 1
-    shear_span = 0
+    # per-(tile, group) VALID-MASKED per-column shear span: fisheye
+    # out-of-circle lanes sweep wild columns but are masked at output
+    # (the kernel neutralizes their x0 the same way), so they must not
+    # drag a group onto the chunk branch
+    shear_tg = np.zeros((n_tiles, n_groups_c), np.int64)
     for ty in range(n_ty):
         for tx in range(n_tx):
             ut = uc[ty, :, tx, :]
@@ -1987,12 +2037,17 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
             nblk_max = max(nblk_max, nblk)
             x0 = np.floor(ua).astype(np.int64)
             y0 = np.floor(vt).astype(np.int64)
-            # per-8-row-group horizontal shear span (per column) —
-            # bounds the kernel's extended tap sweep
-            for g0 in range(0, TILE_ROWS, 8):
+            # per-8-row-group horizontal shear span (per column, over
+            # VALID rows) — bounds the kernel's extended tap sweep
+            for gi, g0 in enumerate(range(0, TILE_ROWS, 8)):
                 xg = x0[g0:g0 + 8]
-                shear_span = max(shear_span,
-                                 int((xg.max(0) - xg.min(0)).max()))
+                mg8 = mt[g0:g0 + 8]
+                if not mg8.any():
+                    continue
+                xmx = np.where(mg8, xg, np.iinfo(np.int64).min).max(0)
+                xmn = np.where(mg8, xg, np.iinfo(np.int64).max).min(0)
+                sp_cols = np.where(mg8.any(0), xmx - xmn, 0)
+                shear_tg[ty * n_tx + tx, gi] = int(sp_cols.max())
             # per-(GROUP, x0-column) y0 extrema over valid pixels
             # (scatter once per group, then a width-n_taps sliding
             # min/max gives per-TAP-column extrema: column j is tapped
@@ -2067,17 +2122,14 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
                 or force[0] > src_h:
             return None
         win_rows = force[0]
-    # shear cap (routing only): views whose extended tap sweep would
-    # dwarf the 4-tap baseline fall back to wide2
-    span_cls = None
-    for cls in WIDE3_SHEAR_CLASSES:
-        if shear_span + 4 <= cls:
-            span_cls = cls
-            break
-    if span_cls is None:
-        return None
+    if not is_fish:
+        # shear cap (routing only): perspective views whose extended tap
+        # sweep would dwarf the 4-tap baseline fall back to wide2
+        if int(shear_tg.max()) + 4 > WIDE3_SHEAR_CLASSES[-1]:
+            return None
     max_rounds = -(-nblk_max // WIDE2_BPR)
     mb = max_rounds * WIDE2_BPR
+    cs_blocks = mb if not is_fish else min(mb, WIDE3_CS_BLOCKS)
     rm_cap = ((src_h - win_rows) // 8) * 8
     n_groups = TILE_ROWS // 8
 
@@ -2087,6 +2139,8 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
     need_tg = np.zeros((n_tiles, n_groups), np.int64)
     spread_tg = np.zeros((n_tiles, n_groups), np.int64)
     maxcs_tg = np.zeros((n_tiles, n_groups), np.int64)
+    has_tg = np.zeros((n_tiles, n_groups), bool)
+    far_tg = np.zeros((n_tiles, n_groups), bool)   # taps beyond cs cap
     for t, (b0, nblk, anchor, rms, stats) in enumerate(tile_rows):
         rm_list = [min(rms[b], rm_cap) for b in range(nblk)]
         per_bg = []
@@ -2102,6 +2156,9 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
                     sp, mc = int(cv.max() - cv.min()), int(cv.max())
                     fill = int(cv.min())
                     csb = np.where(has, csb, fill)
+                    has_tg[t, g] = True
+                    if b >= cs_blocks:
+                        far_tg[t, g] = True
                 else:
                     csb = np.zeros(128, np.int64)
                     nd = sp = mc = 0
@@ -2112,7 +2169,35 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
             per_bg.append(row)
         tile_geo.append((rm_list, per_bg))
 
-    need_max = int(need_tg.max())
+    # fisheye: groups whose valid-masked shear, residual need, or block
+    # range can't be served SIMD run the wide2 chunk-loop branch instead
+    # of failing the whole view; a view with too many chunk groups falls
+    # back to wide2 wholesale
+    if is_fish:
+        if force is not None:
+            resid_limit = force[2]
+        else:
+            resid_limit = max(c for c in WIDE3_RESID_CLASSES
+                              if c <= win_rows)
+        elig = ((shear_tg + 4 <= WIDE3_SHEAR_CLASSES[-1]) & ~far_tg
+                & (need_tg <= resid_limit))
+        if has_tg.any() \
+                and (~elig)[has_tg].mean() > _WIDE3_CHUNK_FRAC_MAX:
+            return None
+    else:
+        elig = np.ones((n_tiles, n_groups), bool)
+
+    # shear routing class over ELIGIBLE groups only
+    sp_need = int(shear_tg[elig].max()) if elig.any() else 0
+    span_cls = None
+    for cls in WIDE3_SHEAR_CLASSES:
+        if sp_need + 4 <= cls:
+            span_cls = cls
+            break
+    if span_cls is None:
+        return None
+
+    need_max = int(need_tg[elig].max()) if elig.any() else 0
     resid_hi = None
     for rs in WIDE3_RESID_CLASSES:
         if rs <= win_rows and need_max <= rs \
@@ -2133,13 +2218,20 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
     # sweep's nvv-proportional gather chains)
     def lo_mask(r, s):
         return ((need_tg <= r) & (spread_tg <= s)
-                & (maxcs_tg <= (win_rows - r) // 8))
+                & (maxcs_tg <= (win_rows - r) // 8) & elig)
 
     def total_cost(r, s):
         m = lo_mask(r, s)
         c_lo = (r // 8) * (3 * s + _WIDE3_SWEEP_COST)
         c_hi = (resid_hi // 8) * (3 * ncs_hi + _WIDE3_SWEEP_COST)
-        return float(m.sum() * c_lo + (~m).sum() * c_hi), m
+        return float(m.sum() * c_lo + (elig & ~m).sum() * c_hi), m
+
+    def make_flags(lo_m):
+        f = np.full((n_tiles, n_groups), WIDE3_FLAG_HI, np.int8)
+        if lo_m is not None:
+            f[lo_m] = WIDE3_FLAG_LO
+        f[~elig] = WIDE3_FLAG_CHUNK
+        return f
 
     if force is not None:
         resid_lo, spread_lo = force[1], force[3]
@@ -2147,8 +2239,8 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
                           or spread_lo not in WIDE3_SPREAD_CLASSES
                           or resid_lo > resid_hi):
             return None
-        flags = ~lo_mask(resid_lo, spread_lo) if spread_lo \
-            else np.ones_like(need_tg, bool)
+        flags = make_flags(lo_mask(resid_lo, spread_lo) if spread_lo
+                           else None)
     else:
         # tuning knob: GS360X_WIDE3_LO="resid,spread" pins the LO
         # class pair; "off" forces single-branch.  Read at PLAN time —
@@ -2171,16 +2263,17 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
                     if best is None or cost < best[0]:
                         best = (cost, r, s, m)
             _, resid_lo, spread_lo, m = best
-        # single-branch when LO would serve <10% of groups: don't pay
-        # the second instantiation's compile for a dead branch
-        if m.mean() < 0.10:
+        # single-branch when LO would serve <10% of eligible groups:
+        # don't pay the second instantiation's compile for a dead branch
+        frac_lo = m[elig].mean() if elig.any() else 0.0
+        if frac_lo < 0.10:
             resid_lo, spread_lo = resid_hi, 0
-            flags = np.ones_like(need_tg, bool)
+            flags = make_flags(None)
         else:
-            flags = ~m
+            flags = make_flags(m)
 
     tab = np.zeros((n_tiles, 3 + n_groups + mb), np.int32)
-    cs = np.zeros((n_tiles, mb, n_groups, 128), np.int32)
+    cs = np.zeros((n_tiles, cs_blocks, n_groups, 128), np.int32)
     cap_hi = (win_rows - resid_hi) // 8
     for t, (b0, nblk, anchor, _, _) in enumerate(tile_rows):
         tab[t, 0] = b0
@@ -2188,12 +2281,12 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
         tab[t, 2] = anchor
         rm_list, per_bg = tile_geo[t]
         for g in range(n_groups):
-            tab[t, 3 + g] = 1 if flags[t, g] else 0
+            tab[t, 3 + g] = int(flags[t, g])
         for b in range(nblk):
             tab[t, 3 + n_groups + b] = rm_list[b]
             for g in range(n_groups):
                 csb, has, nd = per_bg[b][g]
-                if flags[t, g]:
+                if flags[t, g] == WIDE3_FLAG_HI:
                     # HI: absolute chain — clamp to the class cap and
                     # validate coverage (cs at the ceiling still covers
                     # rm + [8*cs, 8*cs + resid_hi) = window bottom)
@@ -2203,8 +2296,13 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
                     bad = hs & (mx_tap > rm_list[b] + 8 * csb
                                 + resid_hi - 1)
                     if bad.any():
-                        return None
-                cs[t, b, g] = csb
+                        if not is_fish:
+                            return None
+                        # fisheye: serve this group on the chunk branch
+                        flags[t, g] = WIDE3_FLAG_CHUNK
+                        tab[t, 3 + g] = WIDE3_FLAG_CHUNK
+                if b < cs_blocks:
+                    cs[t, b, g] = csb
     return (win_rows, resid_lo, resid_hi, spread_lo, max_rounds,
             span_cls, tab, cs)
 
@@ -2213,9 +2311,13 @@ _WIDE3_DEV_CACHE: dict = {}
 
 
 def _wide3_tables_device(key, tabs: List[np.ndarray],
-                         css: List[np.ndarray], mb: int):
-    """Concatenate per-view (tab, cs) across views, pad to a common MB,
-    and cache on device keyed by geometry."""
+                         css: List[np.ndarray], mb: int,
+                         cs_blocks: int = None):
+    """Concatenate per-view (tab, cs) across views, pad tab rows to a
+    common MB and cs to a common CS_BLOCKS, and cache on device keyed
+    by geometry."""
+    if cs_blocks is None:
+        cs_blocks = mb
     cache_key = (key, jax.default_backend())
     hit = _WIDE3_DEV_CACHE.get(cache_key)
     if hit is not None:
@@ -2229,9 +2331,10 @@ def _wide3_tables_device(key, tabs: List[np.ndarray],
             tab = np.concatenate(
                 [tab, np.zeros((n_t, mb - (w_t - 3 - n_groups)),
                                np.int32)], axis=1)
+        if cs.shape[1] < cs_blocks:
             cs = np.concatenate(
-                [cs, np.zeros((n_t, mb - cs.shape[1]) + cs.shape[2:],
-                              np.int32)], axis=1)
+                [cs, np.zeros((n_t, cs_blocks - cs.shape[1])
+                              + cs.shape[2:], np.int32)], axis=1)
         tab_rows.append(tab)
         cs_rows.append(cs)
     val = (jnp.asarray(np.concatenate(tab_rows, axis=0).T.copy()),
@@ -2311,10 +2414,10 @@ def _build_vsel_rel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
 
 
 def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
-                          flag_g, x0, hw, y0, vw, rm_b, acc, *,
-                          win_rows: int, resid_lo: int, resid_hi: int,
+                          flag_g, x0, hw, y0, vw, rm_b, acc, valid, vcl,
+                          *, win_rows: int, resid_lo: int, resid_hi: int,
                           spread_lo: int, n_taps: int, koff: int,
-                          src_h: int):
+                          src_h: int, has_chunk: bool):
     """Accumulate one (de-sheared block, 8-row output group) into the
     output tile — every op a full (8, 128) vreg.
 
@@ -2350,10 +2453,32 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
     The per-(tile, group) branch flag then selects the LO body
     (``resid_lo``-row residual window built by the short RELATIVE
     select chain) or the HI body (``resid_hi`` with the full absolute
-    chain); ``spread_lo == 0`` compiles single-branch (all HI)."""
+    chain); ``spread_lo == 0`` compiles single-branch (all HI).
+
+    Fisheye outputs add two things.  (1) x0 SANITIZATION: out-of-circle
+    pixels (``valid`` False) carry wild tap columns (the ray math is
+    meaningless there) that would blow up the dx sweep bounds of an
+    otherwise-shallow group, so each invalid pixel's x0 is replaced by
+    its lane's max valid x0 (or the group's min valid x0 for fully
+    invalid lanes) before the anchor/sweep math — their garbage
+    contributions land only on their own output pixels, which the
+    kernel multiplies by the valid mask at the end.  (2) a CHUNK branch
+    (``flag_g == 2``, compiled only when ``has_chunk``): pole/rim
+    groups whose VALID taps legitimately sweep too many columns run
+    wide2's proven chunk-loop body (:func:`_resample_group_chunkloop`)
+    with the raw x0/weights."""
     rows = slice(g * 8, (g + 1) * 8)
     y0g = y0[rows]
     x0g = x0[rows]
+    if valid is not None:
+        big = 1 << 28
+        vg = valid[rows]
+        lane_max = jnp.max(jnp.where(vg, x0g, -big), axis=0,
+                           keepdims=True)
+        glob_min = jnp.min(jnp.where(vg, x0g, big))
+        fill = jnp.where(lane_max > -big, lane_max, glob_min)
+        x0g = jnp.where(vg, x0g,
+                        jnp.broadcast_to(fill, (8, TILE_COLS)))
     touch = (jnp.max(x0g) + koff + (n_taps - 1) >= bcol_local) \
         & (jnp.min(x0g) + koff < bcol_local + TILE_COLS)
 
@@ -2402,13 +2527,10 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
 
         jax.lax.fori_loop(0, dx_hi - dx_lo + n_taps, body, 0)
 
-    if spread_lo == 0:
-        @pl.when(touch)
-        def _():
-            sweep(resid_hi, _build_vsel(win_raw, slot, bi_lane0, csb,
-                                        win_rows=win_rows,
-                                        resid_rows=resid_hi))
-    else:
+    hi_cond = touch if spread_lo == 0 else touch & (flag_g != 0)
+    if has_chunk:
+        hi_cond = hi_cond & (flag_g != WIDE3_FLAG_CHUNK)
+    if spread_lo != 0:
         @pl.when(touch & (flag_g == 0))
         def _():
             sweep(resid_lo, _build_vsel_rel(win_raw, slot, bi_lane0,
@@ -2416,11 +2538,26 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
                                             resid_rows=resid_lo,
                                             spread=spread_lo))
 
-        @pl.when(touch & (flag_g != 0))
+    @pl.when(hi_cond)
+    def _():
+        sweep(resid_hi, _build_vsel(win_raw, slot, bi_lane0, csb,
+                                    win_rows=win_rows,
+                                    resid_rows=resid_hi))
+
+    if has_chunk:
+        @pl.when(flag_g == WIDE3_FLAG_CHUNK)
         def _():
-            sweep(resid_hi, _build_vsel(win_raw, slot, bi_lane0, csb,
-                                        win_rows=win_rows,
-                                        resid_rows=resid_hi))
+            x0g64 = jnp.concatenate(
+                [jnp.broadcast_to(x0[i:i + 1, :], (8, TILE_COLS))
+                 for i in range(g * 8, g * 8 + 8)], axis=0)
+            hwg64 = [jnp.concatenate(
+                [jnp.broadcast_to(hw[k][i:i + 1, :], (8, TILE_COLS))
+                 for i in range(g * 8, g * 8 + 8)], axis=0)
+                for k in range(n_taps)]
+            _resample_group_chunkloop(
+                win_raw, slot, bi_lane0, bcol_local, x0g64, hwg64,
+                y0, vw, vcl, rm_b, acc, g, R=win_rows, n_taps=n_taps,
+                koff=koff)
 
 
 def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
@@ -2435,12 +2572,14 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
                        resid_hi: int, spread_lo: int,
                        src_w: int, src_h: int, geo_w: int, geo_h: int,
                        n_tiles_x: int, tiles_per_view: int,
-                       projection: str, mb: int):
+                       projection: str, mb: int, cs_blocks: int,
+                       has_chunk: bool):
     """Wide-window warp v3 (see the section comment above).  DMA plan
     (per-(tile, block) windows, round-0 double-buffered across tiles,
     rare overflow rounds single-buffered) is wide2's; the resample is the
     de-sheared fully-SIMD form with per-(tile, group) LO/HI residual
-    branches."""
+    branches, plus (fisheye outputs, ``has_chunk``) a per-group chunk
+    branch for pole/rim groups — see :func:`_resample_group_wide3`."""
     R = win_rows
     NG = TILE_ROWS // 8
     t = pl.program_id(0)
@@ -2554,8 +2693,11 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
 
     def block_cs(b, g):
         """(8, 128) i32 chunk offsets for block ``b``, output group
-        ``g`` (b may be traced; g is static)."""
-        row = cs_hbm[0, pl.ds(b, 1), g, :]
+        ``g`` (b may be traced; g is static).  Blocks beyond the cs
+        storage cap only ever serve chunk-branch groups (the planner
+        guarantees SIMD groups' valid taps fit the first ``cs_blocks``
+        blocks), so the clamped read is never consumed."""
+        row = cs_hbm[0, pl.ds(jnp.minimum(b, cs_blocks - 1), 1), g, :]
         return jnp.broadcast_to(row.reshape(1, TILE_COLS),
                                 (8, TILE_COLS))
 
@@ -2569,9 +2711,10 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
                 _resample_group_wide3(
                     g, win_raw, slot0, bi * 128, block_cs(bi, g),
                     (b0_t + bi) * 128, tab_ref[3 + g, t], x0, hw, y0,
-                    vw, rm_b, acc, win_rows=R, resid_lo=resid_lo,
-                    resid_hi=resid_hi, spread_lo=spread_lo,
-                    n_taps=n_taps, koff=koff, src_h=src_h)
+                    vw, rm_b, acc, valid, vcl, win_rows=R,
+                    resid_lo=resid_lo, resid_hi=resid_hi,
+                    spread_lo=spread_lo, n_taps=n_taps, koff=koff,
+                    src_h=src_h, has_chunk=has_chunk)
 
     @pl.when((rounds_t <= 1) & (t + 1 < n_t))
     def _():
@@ -2598,10 +2741,11 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
                         _resample_group_wide3(
                             g, win_raw, 2, bi * 128, block_cs(b, g),
                             (b0_t + b) * 128, tab_ref[3 + g, t], x0,
-                            hw, y0, vw, rm_b, acc, win_rows=R,
-                            resid_lo=resid_lo, resid_hi=resid_hi,
-                            spread_lo=spread_lo, n_taps=n_taps,
-                            koff=koff, src_h=src_h)
+                            hw, y0, vw, rm_b, acc, valid, vcl,
+                            win_rows=R, resid_lo=resid_lo,
+                            resid_hi=resid_hi, spread_lo=spread_lo,
+                            n_taps=n_taps, koff=koff, src_h=src_h,
+                            has_chunk=has_chunk)
             return 0
 
         jax.lax.fori_loop(1, rounds_t, round_body, 0)
@@ -2624,28 +2768,33 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
     static_argnames=("width", "height", "true_w", "true_h", "src_w",
                      "src_h", "interp", "win_rows", "resid_lo",
                      "resid_hi", "spread_lo",
-                     "n_views", "projection", "mb", "interpret"))
+                     "n_views", "projection", "mb", "cs_blocks",
+                     "has_chunk", "interpret"))
 def _warp_call_wide3(src_rows, view_f32, tab, cs, *, width, height,
                      true_w, true_h, src_w, src_h, interp, win_rows,
                      resid_lo, resid_hi, spread_lo, n_views, mb,
+                     cs_blocks=None, has_chunk=False,
                      projection="perspective", interpret=False):
     n_tiles_x = width // TILE_COLS
     tiles_per_view = (height // TILE_ROWS) * n_tiles_x
     n_tiles = tiles_per_view * n_views
+    if cs_blocks is None:
+        cs_blocks = mb
 
     kernel = functools.partial(
         _warp_kernel_wide3, interp=interp, win_rows=win_rows,
         resid_lo=resid_lo, resid_hi=resid_hi, spread_lo=spread_lo,
         src_w=src_w, src_h=src_h, geo_w=true_w,
         geo_h=true_h, n_tiles_x=n_tiles_x, tiles_per_view=tiles_per_view,
-        projection=projection, mb=mb)
+        projection=projection, mb=mb, cs_blocks=cs_blocks,
+        has_chunk=has_chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # view_f32
             pl.BlockSpec(memory_space=pl.ANY),       # src stays in HBM
-            pl.BlockSpec((1, mb, TILE_ROWS // 8, TILE_COLS),
+            pl.BlockSpec((1, cs_blocks, TILE_ROWS // 8, TILE_COLS),
                          lambda t, tab: (t, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
@@ -3166,15 +3315,21 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
             if not all(p is not None for p in w3_plans):
                 w3_plans = None
         if w3_plans is not None:
+            ng_c = TILE_ROWS // 8
+            cs_blocks_w3 = mb_w3 if projection == "perspective" \
+                else min(mb_w3, WIDE3_CS_BLOCKS)
+            has_chunk_w3 = any(
+                (p[6][:, 3:3 + ng_c] == WIDE3_FLAG_CHUNK).any()
+                for p in w3_plans)
             tkey = ("widev3e",
                     tuple((float(yaws[i]), float(pitches[i]),
                            float(rolls[i])) for i in wide_idx),
                     float(hfov_deg), float(vfov_deg), out_w, out_h,
                     width, height, src_w, src_h, projection, interp,
-                    fkey, mb_w3)
+                    fkey, mb_w3, cs_blocks_w3)
             tab3, cs3 = _wide3_tables_device(
                 tkey, [p[6] for p in w3_plans],
-                [p[7] for p in w3_plans], mb_w3)
+                [p[7] for p in w3_plans], mb_w3, cs_blocks_w3)
             parts.append(crop(_warp_call_wide3(
                 planar_src, view_table(wide_budgets), tab3, cs3,
                 width=out_w, height=out_h, true_w=width, true_h=height,
@@ -3182,6 +3337,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                 win_rows=win_w3, resid_lo=rlo_w3, resid_hi=rhi_w3,
                 spread_lo=slo_w3,
                 n_views=len(wide_budgets), mb=mb_w3,
+                cs_blocks=cs_blocks_w3, has_chunk=has_chunk_w3,
                 projection=projection, interpret=interpret)))
             w2_plans = None
         else:

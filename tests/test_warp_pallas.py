@@ -513,6 +513,75 @@ class TestWide3Kernel:
             interpret=True, **kw)
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
 
+    def test_fisheye_plan_mixes_simd_and_chunk_groups(self):
+        # d190 fisheye: the pano poles sit inside the image circle, so
+        # pole/rim groups legitimately sweep thousands of columns — the
+        # planner must serve them on the chunk branch (flag 2) while
+        # most groups stay SIMD (valid-MASKED shear stats; the unmasked
+        # stats would chunk nearly everything)
+        p = warp_pallas._wide3_plan_view(
+            128, 128, 190.0, 190.0, 0.0, 0.0, 0.0, 512, 256, 128, 128,
+            "fisheye_v360", "bicubic")
+        assert p is not None
+        win_rows, rlo, rhi, slo, max_rounds, _, tab, cs = p
+        ng = warp_pallas.TILE_ROWS // 8
+        flags = tab[:, 3:3 + ng]
+        n_chunk = (flags == warp_pallas.WIDE3_FLAG_CHUNK).sum()
+        n_simd = ((flags == warp_pallas.WIDE3_FLAG_LO)
+                  | (flags == warp_pallas.WIDE3_FLAG_HI)).sum()
+        assert n_chunk > 0 and n_simd > 2 * n_chunk
+        # cs storage is capped for fisheye outputs
+        assert cs.shape[1] == min(max_rounds * warp_pallas.WIDE2_BPR,
+                                  warp_pallas.WIDE3_CS_BLOCKS)
+
+    def test_fisheye_plan_cs_cap_binds_on_wide_source(self):
+        # a pole-enclosing tile sweeps ~src_w/128 blocks; the cs table
+        # must stay capped at WIDE3_CS_BLOCKS with the far groups on
+        # the chunk branch (an uncapped cs would cost 100s of MB at 8K)
+        p = warp_pallas._wide3_plan_view(
+            384, 384, 190.0, 190.0, 0.0, 0.0, 0.0, 1536, 768, 384, 384,
+            "fisheye_v360", "bilinear")
+        assert p is not None
+        mb = p[4] * warp_pallas.WIDE2_BPR
+        assert mb > warp_pallas.WIDE3_CS_BLOCKS   # cap binds
+        assert p[7].shape[1] == warp_pallas.WIDE3_CS_BLOCKS
+        ng = warp_pallas.TILE_ROWS // 8
+        flags = p[6][:, 3:3 + ng]
+        assert (flags == warp_pallas.WIDE3_FLAG_CHUNK).any()
+
+    def test_fisheye_wide3_overflow_blocks_match_xla(self, monkeypatch):
+        # overflow rounds past the cs cap (traced block index → clamped
+        # cs read, chunk-only service) against the XLA twin; the cap is
+        # lowered so the geometry stays interpret-affordable
+        monkeypatch.setattr(warp_pallas, "WIDE3_CS_BLOCKS", 4)
+        # the tighter cap pushes the chunk fraction past the wholesale-
+        # fallback policy; the policy is routing, not correctness —
+        # relax it so the capped kernel path actually runs
+        monkeypatch.setattr(warp_pallas, "_WIDE3_CHUNK_FRAC_MAX", 0.95)
+        warp_pallas._wide3_plan_view.cache_clear()
+        try:
+            src = lonlat_pano(1536, 768)
+            kw = dict(width=256, height=256, hfov_deg=190.0,
+                      vfov_deg=190.0)
+            p = warp_pallas._wide3_plan_view(
+                256, 256, 190.0, 190.0, 0.0, 0.0, 0.0, 1536, 768,
+                256, 256, "fisheye_v360", "bilinear")
+            assert p is not None
+            assert p[4] * warp_pallas.WIDE2_BPR > 4   # cap binds
+            assert p[7].shape[1] == 4
+            ref = np.asarray(warp.warp_equirect_to_views(
+                src, np.array([0.0], np.float32),
+                np.array([0.0], np.float32),
+                np.array([0.0], np.float32), interp="bilinear",
+                backend="xla", projection="fisheye_v360", **kw))
+            out = warp_pallas.warp_equirect_to_views_pallas(
+                src, np.array([0.0]), np.array([0.0]),
+                np.array([0.0]), interp="bilinear",
+                projection="fisheye_v360", interpret=True, **kw)
+            np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+        finally:
+            warp_pallas._wide3_plan_view.cache_clear()
+
     def test_public_dispatch_routes_wide3(self):
         # narrow/tilt reject this (steep horizontal slope at lat -50),
         # wide2 AND wide3 plan it -> dispatch must build the per-group
