@@ -1882,6 +1882,13 @@ def _warp_call_wide2(src_rows, view_f32, tab, *, width, height, true_w,
 # semantics); the planner validates per-column that every CLAMPED tap
 # fits its residual window, so in-kernel residual indices stay in
 # [0, RS-1] wherever the weight is nonzero.
+#
+# Fisheye outputs run here too (valid-MASKED planner stats + in-kernel
+# x0 sanitization of out-of-circle lanes), with a per-(tile, group)
+# third branch: pole/rim groups whose valid taps legitimately sweep too
+# many columns (the pano pole sits inside a d>=180 image circle) run
+# wide2's chunk-loop body, and cs storage is capped at WIDE3_CS_BLOCKS
+# column blocks — see the _wide3_plan_view docstring.
 
 WIDE3_RESID_CLASSES = (16, 24, 32, 40, 48, 56, 64)
 WIDE3_SHEAR_CLASSES = (4, 8, 16, 24)

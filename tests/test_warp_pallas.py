@@ -560,15 +560,20 @@ class TestWide3Kernel:
         monkeypatch.setattr(warp_pallas, "_WIDE3_CHUNK_FRAC_MAX", 0.95)
         warp_pallas._wide3_plan_view.cache_clear()
         try:
-            src = lonlat_pano(1536, 768)
-            kw = dict(width=256, height=256, hfov_deg=190.0,
+            src = lonlat_pano(768, 384)
+            kw = dict(width=128, height=128, hfov_deg=190.0,
                       vfov_deg=190.0)
             p = warp_pallas._wide3_plan_view(
-                256, 256, 190.0, 190.0, 0.0, 0.0, 0.0, 1536, 768,
-                256, 256, "fisheye_v360", "bilinear")
+                128, 128, 190.0, 190.0, 0.0, 0.0, 0.0, 768, 384,
+                128, 128, "fisheye_v360", "bilinear")
             assert p is not None
             assert p[4] * warp_pallas.WIDE2_BPR > 4   # cap binds
             assert p[7].shape[1] == 4
+            ng = warp_pallas.TILE_ROWS // 8
+            flags = p[6][:, 3:3 + ng]
+            # a real mix: SIMD groups coexist with chunk groups
+            assert (flags == warp_pallas.WIDE3_FLAG_LO).any()
+            assert (flags == warp_pallas.WIDE3_FLAG_CHUNK).any()
             ref = np.asarray(warp.warp_equirect_to_views(
                 src, np.array([0.0], np.float32),
                 np.array([0.0], np.float32),
