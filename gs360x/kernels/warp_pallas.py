@@ -1492,7 +1492,8 @@ def _wide2_tables_device(key, tabs: List[np.ndarray]):
 
 def _resample_group_chunkloop(win_raw, slot, bi_lane0, bcol_local,
                               x0g_gi, hwg_gi, y0, vw, vcl, rm_b, acc,
-                              gi, *, R: int, n_taps: int, koff: int):
+                              gi, *, R: int, n_taps: int, koff: int,
+                              packed: bool = False):
     """One (column-block, 8-row output group) of the wide2 chunk-loop
     resample.  ``x0g_gi``/``hwg_gi``: this group's hoisted (64,128) tap
     columns / weights (absolute padded columns); ``bi_lane0`` the
@@ -1545,27 +1546,44 @@ def _resample_group_chunkloop(win_raw, slot, bi_lane0, bcol_local,
             wv = [[jnp.where((ym[r][m] // 8) == tchunk, vwr[r][m],
                              0.0)
                    for m in range(n_taps)] for r in range(GROUP)]
-            out = []
-            for c in range(3):
+            out = list(accs)
+            for c in range(2 if packed else 3):
                 blk = win_raw[slot, c, pl.ds(r0, 8),
                               bi_lane0:bi_lane0 + TILE_COLS]
                 rep = jnp.concatenate([blk] * GROUP, axis=0)
-                ih = None
-                for k in range(n_taps):
-                    term = jnp.take_along_axis(rep, relb[k], axis=1) \
-                        * wfb[k]
-                    ih = term if ih is None else ih + term
-                adds = []
-                for r in range(GROUP):
-                    ih_r = ih[r * 8:(r + 1) * 8, :]
-                    add = None
-                    for m in range(n_taps):
-                        gv = jnp.take_along_axis(
-                            ih_r, ry[r][m], axis=0)[0:1, :]
-                        term = gv * wv[r][m]
-                        add = term if add is None else add + term
-                    adds.append(add)
-                out.append(accs[c] + jnp.concatenate(adds, axis=0))
+                if packed and c == 0:
+                    # unpack each GATHERED packed value before the
+                    # horizontal weighting (weighted packed sums are
+                    # not separable)
+                    ih_pair = [None, None]
+                    for k in range(n_taps):
+                        gk = jnp.take_along_axis(rep, relb[k], axis=1)
+                        rv = jnp.floor(gk * (1.0 / 256.0))
+                        gv8 = gk - 256.0 * rv
+                        for oc, plane in ((0, rv), (1, gv8)):
+                            term = plane * wfb[k]
+                            ih_pair[oc] = term if ih_pair[oc] is None \
+                                else ih_pair[oc] + term
+                    chans = [(0, ih_pair[0]), (1, ih_pair[1])]
+                else:
+                    ih = None
+                    for k in range(n_taps):
+                        term = jnp.take_along_axis(rep, relb[k],
+                                                   axis=1) * wfb[k]
+                        ih = term if ih is None else ih + term
+                    chans = [(2 if packed else c, ih)]
+                for oc, ih in chans:
+                    adds = []
+                    for r in range(GROUP):
+                        ih_r = ih[r * 8:(r + 1) * 8, :]
+                        add = None
+                        for m in range(n_taps):
+                            gv = jnp.take_along_axis(
+                                ih_r, ry[r][m], axis=0)[0:1, :]
+                            term = gv * wv[r][m]
+                            add = term if add is None else add + term
+                        adds.append(add)
+                    out[oc] = out[oc] + jnp.concatenate(adds, axis=0)
             return tuple(out)
 
         init = tuple(acc[c, rows, :] for c in range(3))
@@ -2353,18 +2371,19 @@ def _wide3_tables_device(key, tabs: List[np.ndarray],
 
 
 def _build_vsel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
-                resid_rows: int):
+                resid_rows: int, nch: int = 3):
     """De-sheared residual window for one block: a [ch][vv] list of
     (8, 128) vregs with ``vsel[ch][vv][s, j] = win[8*(cs_j+vv)+s, j]``.
 
     One static select chain over the window's 8-row chunks; the compare
     masks depend only on ``cs_j + vv`` so they are shared across
-    channels.  ``bi_lane0``: the block's lane offset inside win_raw."""
+    channels.  ``bi_lane0``: the block's lane offset inside win_raw.
+    ``nch`` is 2 for packed-RG windows — the chain count scales with it."""
     ncs = (win_rows - resid_rows) // 8
     nvv = resid_rows // 8
     masks = [csb == cval for cval in range(1, ncs + 1)]
     vsel = []
-    for c in range(3):
+    for c in range(nch):
         per_vv = []
         for vv in range(nvv):
             tgt = win_raw[slot, c, vv * 8:(vv + 1) * 8,
@@ -2384,7 +2403,7 @@ def _build_vsel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
 
 
 def _build_vsel_rel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
-                    resid_rows: int, spread: int):
+                    resid_rows: int, spread: int, nch: int = 3):
     """LO-branch vsel: the select chain runs over the group's LOCAL
     chunk range [min(cs), min(cs) + spread] with dynamic-start row
     reads, instead of every chunk in the window.  The planner backfills
@@ -2408,7 +2427,7 @@ def _build_vsel_rel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
         return data
 
     vsel = []
-    for c in range(3):
+    for c in range(nch):
         per_vv = []
         for vv in range(nvv):
             tgt = read(c, jnp.minimum(cs_min + vv, top))
@@ -2424,7 +2443,8 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
                           flag_g, x0, hw, y0, vw, rm_b, acc, valid, vcl,
                           *, win_rows: int, resid_lo: int, resid_hi: int,
                           spread_lo: int, n_taps: int, koff: int,
-                          src_h: int, has_chunk: bool):
+                          src_h: int, has_chunk: bool,
+                          packed: bool = False):
     """Accumulate one (de-sheared block, 8-row output group) into the
     output tile — every op a full (8, 128) vreg.
 
@@ -2515,10 +2535,10 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
                 r_m = jnp.clip(y0g + koff + m, 0, src_h - 1) - off
                 rms.append(r_m)
                 qs.append(jnp.clip(r_m, 0, resid_rows - 1) // 8)
-            for c in range(3):
+            for c in range(2 if packed else 3):
                 gs = [jnp.take_along_axis(vsel[c][vv], jc, axis=1)
                       for vv in range(nvv)]
-                val = None
+                gms = []
                 for m in range(n_taps):
                     gm = None
                     for vv in range(nvv):
@@ -2527,13 +2547,33 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
                             axis=0)
                         gm = gv if gm is None else \
                             jnp.where(qs[m] == vv, gv, gm)
-                    term = gm * vwg[m]
-                    val = term if val is None else val + term
-                acc[c, rows, :] = acc[c, rows, :] + val * whk
+                    gms.append(gm)
+                if packed and c == 0:
+                    # packed RG: gm is exactly 256·R + G (integers in
+                    # f32); unpack BEFORE weighting — weighted sums of
+                    # packed values are not separable
+                    val_r = val_g = None
+                    for m in range(n_taps):
+                        rv = jnp.floor(gms[m] * (1.0 / 256.0))
+                        gv8 = gms[m] - 256.0 * rv
+                        tr = rv * vwg[m]
+                        tg = gv8 * vwg[m]
+                        val_r = tr if val_r is None else val_r + tr
+                        val_g = tg if val_g is None else val_g + tg
+                    acc[0, rows, :] = acc[0, rows, :] + val_r * whk
+                    acc[1, rows, :] = acc[1, rows, :] + val_g * whk
+                else:
+                    val = None
+                    for m in range(n_taps):
+                        term = gms[m] * vwg[m]
+                        val = term if val is None else val + term
+                    oc = 2 if packed else c
+                    acc[oc, rows, :] = acc[oc, rows, :] + val * whk
             return carry
 
         jax.lax.fori_loop(0, dx_hi - dx_lo + n_taps, body, 0)
 
+    nch = 2 if packed else 3
     hi_cond = touch if spread_lo == 0 else touch & (flag_g != 0)
     if has_chunk:
         hi_cond = hi_cond & (flag_g != WIDE3_FLAG_CHUNK)
@@ -2543,13 +2583,13 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
             sweep(resid_lo, _build_vsel_rel(win_raw, slot, bi_lane0,
                                             csb, win_rows=win_rows,
                                             resid_rows=resid_lo,
-                                            spread=spread_lo))
+                                            spread=spread_lo, nch=nch))
 
     @pl.when(hi_cond)
     def _():
         sweep(resid_hi, _build_vsel(win_raw, slot, bi_lane0, csb,
                                     win_rows=win_rows,
-                                    resid_rows=resid_hi))
+                                    resid_rows=resid_hi, nch=nch))
 
     if has_chunk:
         @pl.when(flag_g == WIDE3_FLAG_CHUNK)
@@ -2564,7 +2604,7 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
             _resample_group_chunkloop(
                 win_raw, slot, bi_lane0, bcol_local, x0g64, hwg64,
                 y0, vw, vcl, rm_b, acc, g, R=win_rows, n_taps=n_taps,
-                koff=koff)
+                koff=koff, packed=packed)
 
 
 def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
@@ -2580,7 +2620,7 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
                        src_w: int, src_h: int, geo_w: int, geo_h: int,
                        n_tiles_x: int, tiles_per_view: int,
                        projection: str, mb: int, cs_blocks: int,
-                       has_chunk: bool):
+                       has_chunk: bool, packed: bool):
     """Wide-window warp v3 (see the section comment above).  DMA plan
     (per-(tile, block) windows, round-0 double-buffered across tiles,
     rare overflow rounds single-buffered) is wide2's; the resample is the
@@ -2721,7 +2761,7 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
                     vw, rm_b, acc, valid, vcl, win_rows=R,
                     resid_lo=resid_lo, resid_hi=resid_hi,
                     spread_lo=spread_lo, n_taps=n_taps, koff=koff,
-                    src_h=src_h, has_chunk=has_chunk)
+                    src_h=src_h, has_chunk=has_chunk, packed=packed)
 
     @pl.when((rounds_t <= 1) & (t + 1 < n_t))
     def _():
@@ -2752,7 +2792,7 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
                             win_rows=R, resid_lo=resid_lo,
                             resid_hi=resid_hi, spread_lo=spread_lo,
                             n_taps=n_taps, koff=koff, src_h=src_h,
-                            has_chunk=has_chunk)
+                            has_chunk=has_chunk, packed=packed)
             return 0
 
         jax.lax.fori_loop(1, rounds_t, round_body, 0)
@@ -2761,11 +2801,16 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
         def _():
             start_r0((t + 1) % 2, t + 1)
 
+    # packed windows carry integer u8 values; the /255 normalization
+    # every other source layout bakes into the planarize folds in here
     if valid is None:
         for c in range(3):
-            out_ref[0, c, :, :] = acc[c]
+            out_ref[0, c, :, :] = acc[c] * (1.0 / 255.0) if packed \
+                else acc[c]
     else:
         vf = valid.astype(jnp.float32)
+        if packed:
+            vf = vf * (1.0 / 255.0)
         for c in range(3):
             out_ref[0, c, :, :] = acc[c] * vf
 
@@ -2776,11 +2821,11 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
                      "src_h", "interp", "win_rows", "resid_lo",
                      "resid_hi", "spread_lo",
                      "n_views", "projection", "mb", "cs_blocks",
-                     "has_chunk", "interpret"))
+                     "has_chunk", "packed", "interpret"))
 def _warp_call_wide3(src_rows, view_f32, tab, cs, *, width, height,
                      true_w, true_h, src_w, src_h, interp, win_rows,
                      resid_lo, resid_hi, spread_lo, n_views, mb,
-                     cs_blocks=None, has_chunk=False,
+                     cs_blocks=None, has_chunk=False, packed=False,
                      projection="perspective", interpret=False):
     n_tiles_x = width // TILE_COLS
     tiles_per_view = (height // TILE_ROWS) * n_tiles_x
@@ -2794,7 +2839,7 @@ def _warp_call_wide3(src_rows, view_f32, tab, cs, *, width, height,
         src_w=src_w, src_h=src_h, geo_w=true_w,
         geo_h=true_h, n_tiles_x=n_tiles_x, tiles_per_view=tiles_per_view,
         projection=projection, mb=mb, cs_blocks=cs_blocks,
-        has_chunk=has_chunk)
+        has_chunk=has_chunk, packed=packed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -2811,8 +2856,8 @@ def _warp_call_wide3(src_rows, view_f32, tab, cs, *, width, height,
                             (t % tiles_per_view) // n_tiles_x,
                             (t % tiles_per_view) % n_tiles_x)),
         scratch_shapes=[
-            pltpu.VMEM((3, 3, win_rows, WIDE2_BPR * TILE_COLS),
-                       src_rows.dtype),
+            pltpu.VMEM((3, 2 if packed else 3, win_rows,
+                        WIDE2_BPR * TILE_COLS), src_rows.dtype),
             pltpu.VMEM((3, TILE_ROWS, TILE_COLS), jnp.float32),
             pltpu.SemaphoreType.DMA((3, WIDE2_BPR)),
         ],
@@ -2989,7 +3034,7 @@ def _planarize_mxu_kernel(rows_ref, p_ref, out_ref, *, scale: float):
         .astype(jnp.bfloat16)
     prod = jnp.dot(raw, p_ref[...], preferred_element_type=jnp.float32)
     bc = out_ref.shape[2]
-    for c in range(3):
+    for c in range(out_ref.shape[0]):
         blk = prod[:, c * bc:(c + 1) * bc]
         if out_ref.dtype == jnp.uint8:
             out_ref[c] = blk.astype(jnp.int32).astype(jnp.uint8)
@@ -3005,9 +3050,25 @@ def _planarize_perm(bc: int):
     return p.astype(jnp.bfloat16)
 
 
+@functools.lru_cache(maxsize=2)
+def _planarize_perm_packed(bc: int):
+    """Packed-RG de-interleave matrix: plane0 = 256·R + G, plane1 = B.
+
+    256 and u8 values are exact in bf16 and the f32 accumulate of the
+    two nonzero terms (< 2^16) is exact, so packing costs nothing over
+    the plain one-hot permutation — same single MXU pass, 2/3 the
+    output bytes."""
+    p = np.zeros((3 * bc, 2 * bc), np.float32)
+    p[np.arange(bc) * 3 + 0, np.arange(bc)] = 256.0
+    p[np.arange(bc) * 3 + 1, np.arange(bc)] = 1.0
+    p[np.arange(bc) * 3 + 2, bc + np.arange(bc)] = 1.0
+    return p.astype(jnp.bfloat16)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret",
-                                             "out_dtype"))
-def _planarize_rows(padded, scale=1.0, interpret=False, out_dtype=None):
+                                             "out_dtype", "pack_rg"))
+def _planarize_rows(padded, scale=1.0, interpret=False, out_dtype=None,
+                    pack_rg=False):
     """Seam-padded rows (H, W'·3) → planar (3, H, W') on device.
 
     One pass over the source frame. Windows the warp kernels read overlap
@@ -3016,31 +3077,42 @@ def _planarize_rows(padded, scale=1.0, interpret=False, out_dtype=None):
     inner loops lose the 3-block masked de-interleave entirely. XLA can't
     express this affordably (a minor-dim-3 transpose tiles catastrophically
     on TPU), hence a dedicated Mosaic pass.
+
+    ``pack_rg`` (uint8 sources only): emit (2, H, W') f32 with
+    plane0 = 256·R + G (exact — u8 fits the f32 mantissa beside a 256
+    shift) and plane1 = B, at INTEGER scale; consumers unpack per tap
+    and fold the /255 into their output write.  On the MXU path this is
+    just a different permutation matrix; elsewhere an XLA epilogue.
     """
     h, w3 = padded.shape
     wp = w3 // 3
     BC = 384
     n_bc = wp // BC
+    if pack_rg:
+        assert padded.dtype == jnp.uint8 and scale == 1.0
     if padded.dtype == jnp.uint8 and h % 128 == 0:
         # u8 sources on full-height frames: MXU one-hot permutation
         BR = 128
+        n_pl = 2 if pack_rg else 3
+        perm = _planarize_perm_packed(BC) if pack_rg \
+            else _planarize_perm(BC)
         return pl.pallas_call(
             functools.partial(_planarize_mxu_kernel, scale=scale),
-            out_shape=jax.ShapeDtypeStruct((3, h, wp),
+            out_shape=jax.ShapeDtypeStruct((n_pl, h, wp),
                                            out_dtype or jnp.float32),
             grid=(h // BR, n_bc),
             in_specs=[
                 pl.BlockSpec((BR, 3 * BC), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((3 * BC, 3 * BC), lambda i, j: (0, 0),
+                pl.BlockSpec((3 * BC, n_pl * BC), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((3, BR, BC), lambda i, j: (0, i, j),
+            out_specs=pl.BlockSpec((n_pl, BR, BC), lambda i, j: (0, i, j),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(padded, jnp.asarray(_planarize_perm(BC)))
+        )(padded, jnp.asarray(perm))
     BR = 64 if h % 64 == 0 else 8
-    return pl.pallas_call(
+    planes = pl.pallas_call(
         functools.partial(_planarize_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((3, h, wp),
                                        out_dtype or jnp.float32),
@@ -3051,12 +3123,16 @@ def _planarize_rows(padded, scale=1.0, interpret=False, out_dtype=None):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(padded)
+    if pack_rg:
+        planes = jnp.stack([planes[0] * 256.0 + planes[1], planes[2]])
+    return planes
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "max_win_cols",
-                                             "keep_u8"))
+                                             "keep_u8", "pack_rg"))
 def _planar_source(src_rows, interpret=False,
-                   max_win_cols: int = TILT_WIN_COLS, keep_u8=False):
+                   max_win_cols: int = TILT_WIN_COLS, keep_u8=False,
+                   pack_rg=False):
     """(H, W·3) interleaved rows → seam-padded planar (3, H8, W'').
 
     W'' = W + WIN_COLS rounded up to a 384-lane multiple (wrap-padded —
@@ -3064,7 +3140,10 @@ def _planar_source(src_rows, interpret=False,
     multiple (replicated rows — the window row clamp keeps them unread).
     uint8/uint16 inputs normalize to [0,1] here — unless ``keep_u8`` and
     the source is uint8, in which case the planar copy stays u8 (4× less
-    window DMA for kernels that fold /255 into their resample weights).
+    window DMA for kernels that fold /255 into their resample weights),
+    or ``pack_rg`` (uint8 only): (2, H8, W'') f32 with plane0 = 256·R+G
+    at INTEGER scale — 2/3 the window DMA and gather work for the wide3
+    kernel, which unpacks per tap and folds the /255 into its output.
     One Mosaic pass; see :func:`_planarize_rows` for why the layout move
     lives in a kernel.
     """
@@ -3075,8 +3154,9 @@ def _planar_source(src_rows, interpret=False,
     # kernel's layout move
     out_dtype = None
     if src_rows.dtype == jnp.uint8:
-        if keep_u8:
-            scale, out_dtype = 1.0, jnp.uint8
+        if keep_u8 or pack_rg:
+            scale = 1.0
+            out_dtype = jnp.uint8 if keep_u8 else None
         else:
             scale = 1.0 / 255.0
     elif src_rows.dtype == jnp.uint16:
@@ -3084,6 +3164,8 @@ def _planar_source(src_rows, interpret=False,
     else:
         scale = 1.0
         src_rows = src_rows.astype(jnp.float32)
+    if pack_rg and src_rows.dtype != jnp.uint8:
+        raise PallasFallback("pack_rg requires a uint8 source")
     target_w = _planar_width(w, max_win_cols)
     pad = target_w - w
     reps = -(-pad // w)
@@ -3094,7 +3176,7 @@ def _planar_source(src_rows, interpret=False,
                                 ((-h) % 8, target_w * 3))
         padded = jnp.concatenate([padded, fill], axis=0)
     return _planarize_rows(padded, scale=scale, interpret=interpret,
-                           out_dtype=out_dtype)
+                           out_dtype=out_dtype, pack_rg=pack_rg)
 
 
 def _as_source_rows(src):
@@ -3240,8 +3322,19 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     # precomputed wx weights so numerics are unchanged
     u8_windows = (src_rows.dtype == jnp.uint8 and bool(yaw_budgets)
                   and not (narrow_budgets or tilt_budgets or wide_budgets))
-    planar_src = _planar_source(src_rows, interpret=interpret,
-                                max_win_cols=pad_cols, keep_u8=u8_windows)
+    # wide3 packed-RG windows (u8 sources, opt-in): 2/3 the window DMA
+    # and per-sweep gather work; built lazily so an all-wide packed set
+    # never materializes the unused 3-plane copy
+    pack_w3 = (src_rows.dtype == jnp.uint8
+               and _os.environ.get("GS360X_WIDE3_PACK", "0") != "0")
+    _planar_cache: dict = {}
+
+    def get_planar(pack: bool = False):
+        if pack not in _planar_cache:
+            _planar_cache[pack] = _planar_source(
+                src_rows, interpret=interpret, max_win_cols=pad_cols,
+                keep_u8=u8_windows and not pack, pack_rg=pack)
+        return _planar_cache[pack]
 
     def crop(arr):
         return arr[:, :, :height, :width] \
@@ -3261,7 +3354,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
             src_h=src_h, win_rows=win_rows_yaw, tile_rows=YAW_TILE_ROWS,
             interp=interp, win_cols=win_cols_yaw, weight_scale=wscale)
         parts.append(crop(_warp_call_yaw2(
-            planar_src, view_table(yaw_budgets), wx_tab, rmcm_tab,
+            get_planar(), view_table(yaw_budgets), wx_tab, rmcm_tab,
             width=out_w, height=out_h_yaw, true_w=width, true_h=height,
             src_w=src_w, src_h=src_h,
             interp=interp, win_rows=win_rows_yaw,
@@ -3269,7 +3362,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
             n_views=len(yaw_budgets), interpret=interpret)))
     if narrow_budgets:
         parts.append(crop(_warp_call(
-            planar_src, view_table(narrow_budgets),
+            get_planar(), view_table(narrow_budgets),
             width=out_w, height=out_h, true_w=width, true_h=height,
             src_w=src_w, src_h=src_h,
             interp=interp,
@@ -3277,7 +3370,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
             n_views=len(narrow_budgets), interpret=interpret)))
     if tilt_budgets:
         parts.append(crop(_warp_call(
-            planar_src, view_table(tilt_budgets),
+            get_planar(), view_table(tilt_budgets),
             width=out_w, height=out_h, true_w=width, true_h=height,
             src_w=src_w, src_h=src_h,
             interp=interp,
@@ -3338,13 +3431,14 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                 tkey, [p[6] for p in w3_plans],
                 [p[7] for p in w3_plans], mb_w3, cs_blocks_w3)
             parts.append(crop(_warp_call_wide3(
-                planar_src, view_table(wide_budgets), tab3, cs3,
+                get_planar(pack_w3), view_table(wide_budgets), tab3, cs3,
                 width=out_w, height=out_h, true_w=width, true_h=height,
                 src_w=src_w, src_h=src_h, interp=interp,
                 win_rows=win_w3, resid_lo=rlo_w3, resid_hi=rhi_w3,
                 spread_lo=slo_w3,
                 n_views=len(wide_budgets), mb=mb_w3,
                 cs_blocks=cs_blocks_w3, has_chunk=has_chunk_w3,
+                packed=pack_w3,
                 projection=projection, interpret=interpret)))
             w2_plans = None
         else:
@@ -3363,7 +3457,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                     width, height, src_w, src_h, projection)
             tab = _wide2_tables_device(tkey, [p[2] for p in w2_plans])
             parts.append(crop(_warp_call_wide2(
-                planar_src, view_table(wide_budgets), tab,
+                get_planar(), view_table(wide_budgets), tab,
                 width=out_w, height=out_h, true_w=width, true_h=height,
                 src_w=src_w, src_h=src_h, interp=interp,
                 win_rows=win_rows_w2, n_views=len(wide_budgets),
@@ -3385,7 +3479,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                         f"window budgets")
                 v1_rows.append(bw.win_rows)
             parts.append(crop(_warp_call_wide(
-                planar_src, view_table(wide_budgets),
+                get_planar(), view_table(wide_budgets),
                 width=out_w, height=out_h, true_w=width, true_h=height,
                 src_w=src_w, src_h=src_h,
                 interp=interp,

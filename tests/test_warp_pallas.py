@@ -587,6 +587,53 @@ class TestWide3Kernel:
         finally:
             warp_pallas._wide3_plan_view.cache_clear()
 
+    def test_packed_rg_planar_source_exact(self):
+        # MXU packed permutation: plane0 must be exactly 256*R + G and
+        # plane1 exactly B (u8 values are exact in bf16; the 2-term f32
+        # accumulate is exact), at INTEGER scale
+        rng = np.random.default_rng(3)
+        src8 = (rng.random((256, 512, 3)) * 255).astype(np.uint8)
+        rows = src8.reshape(256, 512 * 3)
+        planes = np.asarray(warp_pallas._planar_source(
+            jnp.asarray(rows), interpret=True, pack_rg=True))
+        assert planes.shape[0] == 2
+        w = 512
+        exp0 = src8[:, :, 0].astype(np.float64) * 256 \
+            + src8[:, :, 1].astype(np.float64)
+        np.testing.assert_array_equal(planes[0, :256, :w], exp0)
+        np.testing.assert_array_equal(planes[1, :256, :w],
+                                      src8[:, :, 2].astype(np.float64))
+        # seam wrap columns carry the same packing
+        np.testing.assert_array_equal(planes[0, :256, w:w + 8],
+                                      exp0[:, :8])
+
+    @pytest.mark.parametrize("scenario", ["tilt", "fisheye"])
+    def test_packed_rg_matches_unpacked(self, scenario, monkeypatch):
+        # GS360X_WIDE3_PACK=1 (u8 sources): 2/3 the gathers and window
+        # DMA via plane0 = 256*R+G, unpacked per tap in-kernel with the
+        # /255 folded into the output write — must agree with the
+        # unpacked wide3 path to f32 rounding (the /255 placement is
+        # the only reordering)
+        rng = np.random.default_rng(0)
+        src8 = (rng.random((256, 512, 3)) * 255).astype(np.uint8)
+        if scenario == "tilt":
+            kw = dict(width=128, height=32, hfov_deg=40.0,
+                      vfov_deg=18.0, interp="bicubic", interpret=True)
+            y, p = np.array([20.0]), np.array([35.0])
+        else:
+            kw = dict(width=128, height=128, hfov_deg=190.0,
+                      vfov_deg=190.0, projection="fisheye_v360",
+                      interp="bilinear", interpret=True)
+            y, p = np.array([0.0]), np.array([0.0])
+        r = np.zeros(1)
+        monkeypatch.setenv("GS360X_WIDE3_PACK", "0")
+        ref = np.asarray(warp_pallas.warp_equirect_to_views_pallas(
+            src8, y, p, r, **kw))
+        monkeypatch.setenv("GS360X_WIDE3_PACK", "1")
+        out = np.asarray(warp_pallas.warp_equirect_to_views_pallas(
+            src8, y, p, r, **kw))
+        np.testing.assert_allclose(out, ref, atol=2e-6)
+
     def test_public_dispatch_routes_wide3(self):
         # narrow/tilt reject this (steep horizontal slope at lat -50),
         # wide2 AND wide3 plan it -> dispatch must build the per-group

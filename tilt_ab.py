@@ -13,7 +13,9 @@ Usage::
     python tilt_ab.py tilt --interp bilinear
 
 ``GS360X_WIDE3=0`` routes wide-class views to wide2; default is wide3.
-The script flips the env var itself between passes.
+``GS360X_WIDE3_PACK=1`` adds packed-RG windows (u8 sources; 2/3 the
+window DMA + gathers). The script flips the env vars itself between
+passes: wide3p (packed), wide3, wide2.
 
 LO-class tuning: run one process per setting (plans are lru_cached), e.g.
 ``GS360X_WIDE3_LO=24,4 python tilt_ab.py tilt`` or ``...LO=off`` for the
@@ -76,8 +78,10 @@ def main():
     }
     for name in args.scenarios:
         yaws, pitches, w, h, hf, vf, proj = cfgs[name]
-        for gen, flag in (("wide3", "1"), ("wide2", "0")):
+        for gen, flag, pack in (("wide3p", "1", "1"), ("wide3", "1", "0"),
+                                ("wide2", "0", "0")):
             os.environ["GS360X_WIDE3"] = flag
+            os.environ["GS360X_WIDE3_PACK"] = pack
 
             def fn():
                 return wp.warp_equirect_to_views_pallas(
@@ -94,6 +98,7 @@ def main():
                       f"{type(exc).__name__}: {str(exc)[:200]}",
                       flush=True)
     os.environ["GS360X_WIDE3"] = "1"
+    os.environ["GS360X_WIDE3_PACK"] = "0"
 
 
 if __name__ == "__main__":
