@@ -1917,6 +1917,11 @@ _WIDE3_SWEEP_COST = 24.0   # rough sweep ops per nvv unit (cost model)
 # uncapped (n_tiles, MB, G, 128) cs would cost 100s of MB); groups whose
 # valid taps reach beyond the cap run the chunk-loop branch instead
 WIDE3_CS_BLOCKS = 8
+# perspective views use a wider cap: every production tilt plan has
+# MB <= 12, so 16 keeps those plans byte-identical to the uncapped form
+# while still bounding cs for pole-grazing/up-down views whose pole
+# tiles sweep the full source width
+WIDE3_CS_BLOCKS_PERSP = 16
 # per-(tile, group) branch flags in the wide3 table
 WIDE3_FLAG_LO = 0
 WIDE3_FLAG_HI = 1
@@ -1962,18 +1967,22 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
     ``(resid_lo, spread_lo)`` minimise a per-view cost model over the
     class grids; ``spread_lo == 0`` signals single-branch (all HI).
 
-    **Chunk branch (fisheye outputs).** Shear and residual stats are
-    VALID-masked, and groups that still can't be served SIMD — the
-    pano pole sits inside a d>=180 fisheye circle, so pole/rim groups
-    legitimately sweep thousands of source columns — get flag
+    **Chunk branch.** Shear and residual stats are VALID-masked, and
+    groups that still can't be served SIMD get flag
     ``WIDE3_FLAG_CHUNK`` and run wide2's proven chunk-loop body
-    in-kernel instead of failing the whole view.  Their cs entries are
-    unused, and cs storage is capped at ``WIDE3_CS_BLOCKS`` blocks
-    (groups whose valid taps reach beyond the cap are chunk by
-    construction).  A view whose chunk fraction over valid groups
-    exceeds ``_WIDE3_CHUNK_FRAC_MAX`` falls back to wide2 wholesale.
-    Perspective views keep the strict all-or-nothing policy (their
-    valid mask is all-True, so masked == unmasked stats).
+    in-kernel instead of failing the whole view.  Two producers: the
+    pano pole sits inside a d>=180 fisheye circle, so fisheye pole/rim
+    groups legitimately sweep thousands of source columns; and
+    perspective pole-grazing / extra-wide-fov tilted views (the
+    evenPlus30 preset's 112.6-deg pitched cuts, ms360xml up/down cube
+    faces) shear past the class cap near the poles.  Chunk groups' cs
+    entries are unused, and cs storage is capped at ``WIDE3_CS_BLOCKS``
+    (fisheye) / ``WIDE3_CS_BLOCKS_PERSP`` (perspective — chosen above
+    every production tilt plan's MB so those plans are byte-identical
+    to the uncapped form) blocks; groups whose valid taps reach beyond
+    the cap are chunk by construction.  A view whose chunk fraction
+    over valid groups exceeds ``_WIDE3_CHUNK_FRAC_MAX`` falls back to
+    wide2 wholesale.
 
     ``tab`` is (n_tiles, 3 + G + MB) i32 with G = TILE_ROWS // 8:
     ``[b0, nblk, anchor, flag_g0..flag_g{G-1}, rm_0..rm_{MB-1}]``
@@ -2147,14 +2156,10 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
                 or force[0] > src_h:
             return None
         win_rows = force[0]
-    if not is_fish:
-        # shear cap (routing only): perspective views whose extended tap
-        # sweep would dwarf the 4-tap baseline fall back to wide2
-        if int(shear_tg.max()) + 4 > WIDE3_SHEAR_CLASSES[-1]:
-            return None
     max_rounds = -(-nblk_max // WIDE2_BPR)
     mb = max_rounds * WIDE2_BPR
-    cs_blocks = mb if not is_fish else min(mb, WIDE3_CS_BLOCKS)
+    cs_blocks = min(mb, WIDE3_CS_BLOCKS if is_fish
+                    else WIDE3_CS_BLOCKS_PERSP)
     rm_cap = ((src_h - win_rows) // 8) * 8
     n_groups = TILE_ROWS // 8
 
@@ -2194,23 +2199,22 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
             per_bg.append(row)
         tile_geo.append((rm_list, per_bg))
 
-    # fisheye: groups whose valid-masked shear, residual need, or block
-    # range can't be served SIMD run the wide2 chunk-loop branch instead
-    # of failing the whole view; a view with too many chunk groups falls
+    # groups whose valid-masked shear, residual need, or block range
+    # can't be served SIMD run the wide2 chunk-loop branch instead of
+    # failing the whole view (fisheye pole/rim groups; perspective
+    # pole-grazing or extra-wide-fov tilted views like evenPlus30's
+    # 112.6-deg pitched cuts); a view with too many chunk groups falls
     # back to wide2 wholesale
-    if is_fish:
-        if force is not None:
-            resid_limit = force[2]
-        else:
-            resid_limit = max(c for c in WIDE3_RESID_CLASSES
-                              if c <= win_rows)
-        elig = ((shear_tg + 4 <= WIDE3_SHEAR_CLASSES[-1]) & ~far_tg
-                & (need_tg <= resid_limit))
-        if has_tg.any() \
-                and (~elig)[has_tg].mean() > _WIDE3_CHUNK_FRAC_MAX:
-            return None
+    if force is not None:
+        resid_limit = force[2]
     else:
-        elig = np.ones((n_tiles, n_groups), bool)
+        resid_limit = max(c for c in WIDE3_RESID_CLASSES
+                          if c <= win_rows)
+    elig = ((shear_tg + 4 <= WIDE3_SHEAR_CLASSES[-1]) & ~far_tg
+            & (need_tg <= resid_limit))
+    if has_tg.any() \
+            and (~elig)[has_tg].mean() > _WIDE3_CHUNK_FRAC_MAX:
+        return None
 
     # shear routing class over ELIGIBLE groups only
     sp_need = int(shear_tg[elig].max()) if elig.any() else 0
@@ -2321,9 +2325,8 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
                     bad = hs & (mx_tap > rm_list[b] + 8 * csb
                                 + resid_hi - 1)
                     if bad.any():
-                        if not is_fish:
-                            return None
-                        # fisheye: serve this group on the chunk branch
+                        # residual window can't cover even clamped:
+                        # serve this group on the chunk branch
                         flags[t, g] = WIDE3_FLAG_CHUNK
                         tab[t, 3 + g] = WIDE3_FLAG_CHUNK
                 if b < cs_blocks:
@@ -3416,8 +3419,9 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                 w3_plans = None
         if w3_plans is not None:
             ng_c = TILE_ROWS // 8
-            cs_blocks_w3 = mb_w3 if projection == "perspective" \
-                else min(mb_w3, WIDE3_CS_BLOCKS)
+            cs_blocks_w3 = min(mb_w3, WIDE3_CS_BLOCKS_PERSP
+                               if projection == "perspective"
+                               else WIDE3_CS_BLOCKS)
             has_chunk_w3 = any(
                 (p[6][:, 3:3 + ng_c] == WIDE3_FLAG_CHUNK).any()
                 for p in w3_plans)

@@ -341,14 +341,21 @@ class TestWide3Kernel:
         out = self._direct(interp)
         np.testing.assert_allclose(out, ref, atol=1e-4)
 
-    def test_grazing_pole_falls_back_to_wide2(self):
-        # pole-grazing shear exceeds the wide3 span cap; the planner
-        # declines and the dispatch serves the view on wide2 — which
-        # must include the twin's BOTTOM tap-row clamp (v ~ src_h-1)
+    @pytest.mark.parametrize("route", ["wide3_chunk", "wide2"])
+    def test_grazing_pole_both_routes_match_xla(self, route, monkeypatch):
+        # pole-grazing shear: half the groups exceed the wide3 span cap
+        # and run the in-kernel chunk branch (route wide3_chunk, the
+        # default); GS360X_WIDE3=0 pins the wide2 kernel — BOTH must
+        # reproduce the twin's BOTTOM tap-row clamp (v ~ src_h-1)
         kw = dict(width=256, height=32, hfov_deg=60.0, vfov_deg=22.0)
-        assert warp_pallas._wide3_plan_view(
+        p = warp_pallas._wide3_plan_view(
             256, 32, 60.0, 22.0, 20.0, -82.0, 0.0, 512, 256, 256, 32,
-            "perspective", "bicubic") is None
+            "perspective", "bicubic")
+        assert p is not None
+        ng = warp_pallas.TILE_ROWS // 8
+        assert (p[6][:, 3:3 + ng] == warp_pallas.WIDE3_FLAG_CHUNK).any()
+        if route == "wide2":
+            monkeypatch.setenv("GS360X_WIDE3", "0")
         ref = np.asarray(warp.warp_equirect_to_views(
             SRC, np.array([20.0], np.float32),
             np.array([-82.0], np.float32), np.array([0.0], np.float32),
@@ -357,6 +364,37 @@ class TestWide3Kernel:
             SRC, np.array([20.0]), np.array([-82.0]), np.array([0.0]),
             interp="bicubic", interpret=True, **kw)
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+    def test_perspective_wholesale_fallback_still_exists(self):
+        # a pole-CENTERED view (cube up face) is majority-chunk — the
+        # planner must decline so the whole view serves on wide2
+        assert warp_pallas._wide3_plan_view(
+            256, 256, 105.0, 105.0, 0.0, 90.0, 0.0, 2048, 1024, 256,
+            256, "perspective", "bicubic") is None
+
+    def test_wide_fov_tilted_view_chunk_route_matches_xla(self):
+        # evenPlus30-shaped geometry (extra-wide fov, pitch 30, view
+        # reaching near-pole latitudes): the old all-or-nothing shear
+        # cap rejected it to wide2; it must now plan with a small chunk
+        # fraction (the near-pole groups) and match the twin
+        src = lonlat_pano(2048, 1024)
+        kw = dict(width=256, height=128, hfov_deg=112.6, vfov_deg=100.0)
+        p = warp_pallas._wide3_plan_view(
+            256, 128, 112.6, 100.0, 0.0, 30.0, 0.0, 2048, 1024, 256,
+            128, "perspective", "bicubic")
+        assert p is not None
+        ng = warp_pallas.TILE_ROWS // 8
+        flags = p[6][:, 3:3 + ng]
+        assert (flags == warp_pallas.WIDE3_FLAG_CHUNK).any()
+        assert (flags != warp_pallas.WIDE3_FLAG_CHUNK).mean() > 0.5
+        ref = np.asarray(warp.warp_equirect_to_views(
+            src, np.array([0.0], np.float32),
+            np.array([30.0], np.float32), np.array([0.0], np.float32),
+            interp="bicubic", backend="xla", **kw))
+        out = warp_pallas.warp_equirect_to_views_pallas(
+            src, np.array([0.0]), np.array([30.0]), np.array([0.0]),
+            interp="bicubic", interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
 
     def test_plan_view_budget_vs_emulated_taps(self):
         # planner invariant on a non-trivial tilted geometry: for every
