@@ -1490,10 +1490,28 @@ def _wide2_tables_device(key, tabs: List[np.ndarray]):
     return val
 
 
+def _n_planes(packed: int) -> int:
+    """Window plane count for a pack mode: 0 → RGB planar (3),
+    2 → [256·R+G, B] (2), 3 → [65536·R+256·G+B] (1)."""
+    return 3 if not packed else (2 if packed == 2 else 1)
+
+
+def _unpack_planes(g, packed: int):
+    """Split one gathered packed value into its u8 fields (exact: the
+    fields are integers < 2^24, so every floor/mul/sub is exact f32)."""
+    if packed == 3:
+        rv = jnp.floor(g * (1.0 / 65536.0))
+        rem = g - 65536.0 * rv
+        gv = jnp.floor(rem * (1.0 / 256.0))
+        return [rv, gv, rem - 256.0 * gv]
+    rv = jnp.floor(g * (1.0 / 256.0))
+    return [rv, g - 256.0 * rv]
+
+
 def _resample_group_chunkloop(win_raw, slot, bi_lane0, bcol_local,
                               x0g_gi, hwg_gi, y0, vw, vcl, rm_b, acc,
                               gi, *, R: int, n_taps: int, koff: int,
-                              packed: bool = False):
+                              packed: int = 0):
     """One (column-block, 8-row output group) of the wide2 chunk-loop
     resample.  ``x0g_gi``/``hwg_gi``: this group's hoisted (64,128) tap
     columns / weights (absolute padded columns); ``bi_lane0`` the
@@ -1547,7 +1565,7 @@ def _resample_group_chunkloop(win_raw, slot, bi_lane0, bcol_local,
                              0.0)
                    for m in range(n_taps)] for r in range(GROUP)]
             out = list(accs)
-            for c in range(2 if packed else 3):
+            for c in range(_n_planes(packed)):
                 blk = win_raw[slot, c, pl.ds(r0, 8),
                               bi_lane0:bi_lane0 + TILE_COLS]
                 rep = jnp.concatenate([blk] * GROUP, axis=0)
@@ -1555,16 +1573,15 @@ def _resample_group_chunkloop(win_raw, slot, bi_lane0, bcol_local,
                     # unpack each GATHERED packed value before the
                     # horizontal weighting (weighted packed sums are
                     # not separable)
-                    ih_pair = [None, None]
+                    ih_u = [None] * packed
                     for k in range(n_taps):
                         gk = jnp.take_along_axis(rep, relb[k], axis=1)
-                        rv = jnp.floor(gk * (1.0 / 256.0))
-                        gv8 = gk - 256.0 * rv
-                        for oc, plane in ((0, rv), (1, gv8)):
+                        for oc, plane in enumerate(
+                                _unpack_planes(gk, packed)):
                             term = plane * wfb[k]
-                            ih_pair[oc] = term if ih_pair[oc] is None \
-                                else ih_pair[oc] + term
-                    chans = [(0, ih_pair[0]), (1, ih_pair[1])]
+                            ih_u[oc] = term if ih_u[oc] is None \
+                                else ih_u[oc] + term
+                    chans = list(enumerate(ih_u))
                 else:
                     ih = None
                     for k in range(n_taps):
@@ -2497,6 +2514,14 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
     groups whose VALID taps legitimately sweep too many columns run
     wide2's proven chunk-loop body (:func:`_resample_group_chunkloop`)
     with the raw x0/weights."""
+    # dev triage knob (one process per setting — read at trace time):
+    #   GS360X_WIDE3_STOP=dma    DMA + geometry + output write only
+    #   GS360X_WIDE3_STOP=vsel   + residual-window build (consumed cheaply)
+    #   GS360X_WIDE3_STOP=trip1  + sweep body, but ONE trip instead of
+    #                            dx_hi-dx_lo+n_taps (isolates per-trip cost)
+    stop = _os.environ.get("GS360X_WIDE3_STOP", "full")
+    if stop == "dma":
+        return
     rows = slice(g * 8, (g + 1) * 8)
     y0g = y0[rows]
     x0g = x0[rows]
@@ -2514,6 +2539,14 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
 
     def sweep(resid_rows, vsel):
         nvv = resid_rows // 8
+        if stop == "vsel":
+            probe = None
+            for c in range(len(vsel)):
+                for vv in range(nvv):
+                    probe = vsel[c][vv] if probe is None \
+                        else probe + vsel[c][vv]
+            acc[0, rows, :] = acc[0, rows, :] + probe * 1e-30
+            return
         jb = jnp.broadcast_to(x0g[3:4, :], (8, TILE_COLS))
         dx = x0g - jb
         dx_lo = jnp.min(dx)
@@ -2538,7 +2571,7 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
                 r_m = jnp.clip(y0g + koff + m, 0, src_h - 1) - off
                 rms.append(r_m)
                 qs.append(jnp.clip(r_m, 0, resid_rows - 1) // 8)
-            for c in range(2 if packed else 3):
+            for c in range(_n_planes(packed)):
                 gs = [jnp.take_along_axis(vsel[c][vv], jc, axis=1)
                       for vv in range(nvv)]
                 gms = []
@@ -2552,19 +2585,20 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
                             jnp.where(qs[m] == vv, gv, gm)
                     gms.append(gm)
                 if packed and c == 0:
-                    # packed RG: gm is exactly 256·R + G (integers in
-                    # f32); unpack BEFORE weighting — weighted sums of
+                    # packed plane: gm is exactly 256·R+G (pack 2) or
+                    # 65536·R+256·G+B (pack 3) — integers in f32;
+                    # unpack BEFORE weighting — weighted sums of
                     # packed values are not separable
-                    val_r = val_g = None
+                    vals = [None] * packed
                     for m in range(n_taps):
-                        rv = jnp.floor(gms[m] * (1.0 / 256.0))
-                        gv8 = gms[m] - 256.0 * rv
-                        tr = rv * vwg[m]
-                        tg = gv8 * vwg[m]
-                        val_r = tr if val_r is None else val_r + tr
-                        val_g = tg if val_g is None else val_g + tg
-                    acc[0, rows, :] = acc[0, rows, :] + val_r * whk
-                    acc[1, rows, :] = acc[1, rows, :] + val_g * whk
+                        for oc, plane in enumerate(
+                                _unpack_planes(gms[m], packed)):
+                            t = plane * vwg[m]
+                            vals[oc] = t if vals[oc] is None \
+                                else vals[oc] + t
+                    for oc in range(packed):
+                        acc[oc, rows, :] = (acc[oc, rows, :]
+                                            + vals[oc] * whk)
                 else:
                     val = None
                     for m in range(n_taps):
@@ -2574,9 +2608,11 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
                     acc[oc, rows, :] = acc[oc, rows, :] + val * whk
             return carry
 
-        jax.lax.fori_loop(0, dx_hi - dx_lo + n_taps, body, 0)
+        n_trips = (jnp.int32(1) if stop == "trip1"
+                   else dx_hi - dx_lo + n_taps)
+        jax.lax.fori_loop(0, n_trips, body, 0)
 
-    nch = 2 if packed else 3
+    nch = _n_planes(packed)
     hi_cond = touch if spread_lo == 0 else touch & (flag_g != 0)
     if has_chunk:
         hi_cond = hi_cond & (flag_g != WIDE3_FLAG_CHUNK)
@@ -2859,7 +2895,7 @@ def _warp_call_wide3(src_rows, view_f32, tab, cs, *, width, height,
                             (t % tiles_per_view) // n_tiles_x,
                             (t % tiles_per_view) % n_tiles_x)),
         scratch_shapes=[
-            pltpu.VMEM((3, 2 if packed else 3, win_rows,
+            pltpu.VMEM((3, _n_planes(packed), win_rows,
                         WIDE2_BPR * TILE_COLS), src_rows.dtype),
             pltpu.VMEM((3, TILE_ROWS, TILE_COLS), jnp.float32),
             pltpu.SemaphoreType.DMA((3, WIDE2_BPR)),
@@ -3068,6 +3104,22 @@ def _planarize_perm_packed(bc: int):
     return p.astype(jnp.bfloat16)
 
 
+@functools.lru_cache(maxsize=2)
+def _planarize_perm_packed3(bc: int):
+    """Packed-RGB de-interleave matrix: ONE plane = 65536·R + 256·G + B.
+
+    Every coefficient and u8 value is exact in bf16 (pure exponent
+    shifts of ≤8-bit integers), each bf16×bf16 product is exact in the
+    MXU's f32 accumulate, and the 3-term sum is < 2^24 — so the packed
+    plane is the exact integer 65536·R+256·G+B.  1/3 the window DMA
+    and ONE gather chain per sweep where unpacked pays three."""
+    p = np.zeros((3 * bc, bc), np.float32)
+    p[np.arange(bc) * 3 + 0, np.arange(bc)] = 65536.0
+    p[np.arange(bc) * 3 + 1, np.arange(bc)] = 256.0
+    p[np.arange(bc) * 3 + 2, np.arange(bc)] = 1.0
+    return p.astype(jnp.bfloat16)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret",
                                              "out_dtype", "pack_rg"))
 def _planarize_rows(padded, scale=1.0, interpret=False, out_dtype=None,
@@ -3081,24 +3133,30 @@ def _planarize_rows(padded, scale=1.0, interpret=False, out_dtype=None,
     express this affordably (a minor-dim-3 transpose tiles catastrophically
     on TPU), hence a dedicated Mosaic pass.
 
-    ``pack_rg`` (uint8 sources only): emit (2, H, W') f32 with
+    ``pack_rg`` (uint8 sources only): 2 → emit (2, H, W') f32 with
     plane0 = 256·R + G (exact — u8 fits the f32 mantissa beside a 256
-    shift) and plane1 = B, at INTEGER scale; consumers unpack per tap
-    and fold the /255 into their output write.  On the MXU path this is
-    just a different permutation matrix; elsewhere an XLA epilogue.
+    shift) and plane1 = B; 3 → emit (1, H, W') f32 with the single
+    plane 65536·R + 256·G + B (still exact: < 2^24).  Both at INTEGER
+    scale; consumers unpack per tap and fold the /255 into their output
+    write.  On the MXU path this is just a different permutation
+    matrix; elsewhere an XLA epilogue.
     """
     h, w3 = padded.shape
     wp = w3 // 3
     BC = 384
     n_bc = wp // BC
+    pack_rg = int(pack_rg)
     if pack_rg:
         assert padded.dtype == jnp.uint8 and scale == 1.0
+        if pack_rg == 1:
+            pack_rg = 2                       # legacy bool spelling
     if padded.dtype == jnp.uint8 and h % 128 == 0:
         # u8 sources on full-height frames: MXU one-hot permutation
         BR = 128
-        n_pl = 2 if pack_rg else 3
-        perm = _planarize_perm_packed(BC) if pack_rg \
-            else _planarize_perm(BC)
+        n_pl = _n_planes(pack_rg)
+        perm = (_planarize_perm_packed3(BC) if pack_rg == 3
+                else _planarize_perm_packed(BC) if pack_rg
+                else _planarize_perm(BC))
         return pl.pallas_call(
             functools.partial(_planarize_mxu_kernel, scale=scale),
             out_shape=jax.ShapeDtypeStruct((n_pl, h, wp),
@@ -3126,7 +3184,10 @@ def _planarize_rows(padded, scale=1.0, interpret=False, out_dtype=None,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(padded)
-    if pack_rg:
+    if pack_rg == 3:
+        planes = (planes[0] * 65536.0 + planes[1] * 256.0
+                  + planes[2])[None]
+    elif pack_rg:
         planes = jnp.stack([planes[0] * 256.0 + planes[1], planes[2]])
     return planes
 
@@ -3325,11 +3386,17 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     # precomputed wx weights so numerics are unchanged
     u8_windows = (src_rows.dtype == jnp.uint8 and bool(yaw_budgets)
                   and not (narrow_budgets or tilt_budgets or wide_budgets))
-    # wide3 packed-RG windows (u8 sources, opt-in): 2/3 the window DMA
-    # and per-sweep gather work; built lazily so an all-wide packed set
-    # never materializes the unused 3-plane copy
-    pack_w3 = (src_rows.dtype == jnp.uint8
-               and _os.environ.get("GS360X_WIDE3_PACK", "0") != "0")
+    # wide3 packed windows (u8 sources, default ON): packing channels
+    # into one f32 plane cuts window DMA and the per-sweep gather
+    # chains — measured fastest on every wide scenario (tilt_ab.py,
+    # v5e).  "3" (default) packs all of RGB into 65536·R+256·G+B
+    # (exact: < 2^24); "2"/"rg" is the two-plane 256·R+G / B split;
+    # "0" disables.  Built lazily so an all-wide packed set never
+    # materializes the unused 3-plane copy.
+    _pack_env = _os.environ.get("GS360X_WIDE3_PACK", "3").lower()
+    pack_w3 = 0
+    if src_rows.dtype == jnp.uint8 and _pack_env != "0":
+        pack_w3 = 2 if _pack_env in ("2", "rg") else 3
     _planar_cache: dict = {}
 
     def get_planar(pack: bool = False):

@@ -645,13 +645,33 @@ class TestWide3Kernel:
         np.testing.assert_array_equal(planes[0, :256, w:w + 8],
                                       exp0[:, :8])
 
+    def test_packed_rgb3_planar_source_exact(self):
+        # pack 3: the single plane must be exactly 65536*R + 256*G + B
+        # (each bf16 product exact, 3-term f32 sum < 2^24)
+        rng = np.random.default_rng(5)
+        src8 = (rng.random((256, 512, 3)) * 255).astype(np.uint8)
+        src8[:2, :2] = 255                     # exercise the maximum
+        rows = src8.reshape(256, 512 * 3)
+        planes = np.asarray(warp_pallas._planar_source(
+            jnp.asarray(rows), interpret=True, pack_rg=3))
+        assert planes.shape[0] == 1
+        w = 512
+        exp = (src8[:, :, 0].astype(np.float64) * 65536
+               + src8[:, :, 1].astype(np.float64) * 256
+               + src8[:, :, 2].astype(np.float64))
+        np.testing.assert_array_equal(planes[0, :256, :w], exp)
+        np.testing.assert_array_equal(planes[0, :256, w:w + 8],
+                                      exp[:, :8])
+
     @pytest.mark.parametrize("scenario", ["tilt", "fisheye"])
-    def test_packed_rg_matches_unpacked(self, scenario, monkeypatch):
-        # GS360X_WIDE3_PACK=1 (u8 sources): 2/3 the gathers and window
-        # DMA via plane0 = 256*R+G, unpacked per tap in-kernel with the
-        # /255 folded into the output write — must agree with the
-        # unpacked wide3 path to f32 rounding (the /255 placement is
-        # the only reordering)
+    @pytest.mark.parametrize("mode", ["2", "3"])
+    def test_packed_matches_unpacked(self, scenario, mode, monkeypatch):
+        # GS360X_WIDE3_PACK (u8 sources): fewer gather chains and less
+        # window DMA via packed planes (256*R+G / B for "2"; the single
+        # 65536*R+256*G+B plane for "3"), unpacked per tap in-kernel
+        # with the /255 folded into the output write — must agree with
+        # the unpacked wide3 path to f32 rounding (the /255 placement
+        # is the only reordering; every pack/unpack step is exact)
         rng = np.random.default_rng(0)
         src8 = (rng.random((256, 512, 3)) * 255).astype(np.uint8)
         if scenario == "tilt":
@@ -667,7 +687,7 @@ class TestWide3Kernel:
         monkeypatch.setenv("GS360X_WIDE3_PACK", "0")
         ref = np.asarray(warp_pallas.warp_equirect_to_views_pallas(
             src8, y, p, r, **kw))
-        monkeypatch.setenv("GS360X_WIDE3_PACK", "1")
+        monkeypatch.setenv("GS360X_WIDE3_PACK", mode)
         out = np.asarray(warp_pallas.warp_equirect_to_views_pallas(
             src8, y, p, r, **kw))
         np.testing.assert_allclose(out, ref, atol=2e-6)

@@ -78,8 +78,12 @@ def main():
     }
     for name in args.scenarios:
         yaws, pitches, w, h, hf, vf, proj = cfgs[name]
-        for gen, flag, pack in (("wide3p", "1", "1"), ("wide3", "1", "0"),
-                                ("wide2", "0", "0")):
+        gens = (("wide3p3", "1", "3"), ("wide3p2", "1", "2"),
+                ("wide3", "1", "0"), ("wide2", "0", "0"))
+        only = os.environ.get("GS360X_AB_GENS", "")
+        if only:
+            gens = tuple(g for g in gens if g[0] in only.split(","))
+        for gen, flag, pack in gens:
             os.environ["GS360X_WIDE3"] = flag
             os.environ["GS360X_WIDE3_PACK"] = pack
 
@@ -98,7 +102,7 @@ def main():
                       f"{type(exc).__name__}: {str(exc)[:200]}",
                       flush=True)
     os.environ["GS360X_WIDE3"] = "1"
-    os.environ["GS360X_WIDE3_PACK"] = "0"
+    os.environ["GS360X_WIDE3_PACK"] = "3"
 
 
 if __name__ == "__main__":
