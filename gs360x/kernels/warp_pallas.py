@@ -2519,7 +2519,13 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
     #   GS360X_WIDE3_STOP=vsel   + residual-window build (consumed cheaply)
     #   GS360X_WIDE3_STOP=trip1  + sweep body, but ONE trip instead of
     #                            dx_hi-dx_lo+n_taps (isolates per-trip cost)
-    stop = _os.environ.get("GS360X_WIDE3_STOP", "full")
+    stop = _os.environ.get("GS360X_WIDE3_STOP", "full").strip() or "full"
+    if stop not in ("full", "dma", "vsel", "trip1"):
+        # a typo'd/leftover value would silently produce truncated
+        # (zeroed) wide3 output — fail loudly at trace time instead
+        raise ValueError(
+            f"GS360X_WIDE3_STOP={stop!r}: expected one of "
+            "'full', 'dma', 'vsel', 'trip1'")
     if stop == "dma":
         return
     rows = slice(g * 8, (g + 1) * 8)
@@ -3393,10 +3399,18 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     # (exact: < 2^24); "2"/"rg" is the two-plane 256·R+G / B split;
     # "0" disables.  Built lazily so an all-wide packed set never
     # materializes the unused 3-plane copy.
-    _pack_env = _os.environ.get("GS360X_WIDE3_PACK", "3").lower()
-    pack_w3 = 0
-    if src_rows.dtype == jnp.uint8 and _pack_env != "0":
-        pack_w3 = 2 if _pack_env in ("2", "rg") else 3
+    _pack_env = (_os.environ.get("GS360X_WIDE3_PACK", "3").strip().lower()
+                 or "3")
+    # legacy "1" was the bool opt-in for the (then-only) RG pack; keep
+    # it selecting the 2-plane mode, matching _planarize_rows' handling
+    # of a legacy pack_rg=1 argument
+    _pack_modes = {"0": 0, "1": 2, "2": 2, "rg": 2, "3": 3, "rgb": 3}
+    if _pack_env not in _pack_modes:
+        raise ValueError(
+            f"GS360X_WIDE3_PACK={_pack_env!r}: expected one of "
+            "'0' (off), '2'/'rg' (two-plane 256R+G / B), "
+            "'3'/'rgb' (one-plane 65536R+256G+B, default)")
+    pack_w3 = _pack_modes[_pack_env] if src_rows.dtype == jnp.uint8 else 0
     _planar_cache: dict = {}
 
     def get_planar(pack: bool = False):

@@ -13,9 +13,12 @@ Usage::
     python tilt_ab.py tilt --interp bilinear
 
 ``GS360X_WIDE3=0`` routes wide-class views to wide2; default is wide3.
-``GS360X_WIDE3_PACK=1`` adds packed-RG windows (u8 sources; 2/3 the
-window DMA + gathers). The script flips the env vars itself between
-passes: wide3p (packed), wide3, wide2.
+``GS360X_WIDE3_PACK`` selects the u8 window packing: ``3``/``rgb``
+(one-plane 65536R+256G+B, the default), ``2``/``rg`` (two-plane
+256R+G / B), ``0`` (off). Packing cuts window DMA + gather work by
+the plane ratio. The script flips the env vars itself between passes:
+wide3p3 (1-plane pack), wide3p2 (2-plane pack), wide3 (unpacked),
+wide2.
 
 LO-class tuning: run one process per setting (plans are lru_cached), e.g.
 ``GS360X_WIDE3_LO=24,4 python tilt_ab.py tilt`` or ``...LO=off`` for the
