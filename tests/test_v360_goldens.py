@@ -10,7 +10,11 @@ a hard part precisely because of that).
 Tolerance note: v360's ``cubic`` is a Lagrange-basis 4-tap kernel on
 pixel-center coordinates, which is what ``gs360x.kernels.warp`` (and the
 Pallas twins) implement; residual differences come from u8 rounding and
-v360's fixed-point tap weights (±2 u8 LSB observed on lonlat gradients).
+v360's fixed-point tap weights. Measured bounds against the independent
+Q14 oracle (``gs360x/kernels/v360_oracle.py``) are recorded in
+``docs/V360_PARITY.md`` and gated by ``tests/test_v360_oracle.py``;
+the thresholds below leave headroom for real-ffmpeg colorspace and
+encode differences on top of those.
 """
 
 import json
