@@ -153,6 +153,62 @@ def split_instances(binary: np.ndarray, *, smooth_sigma: float = 2.0,
     return out, count
 
 
+def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
+    """IoU of two boolean masks."""
+    inter = float(np.logical_and(a, b).sum())
+    union = float(np.logical_or(a, b).sum())
+    return inter / union if union > 0 else 0.0
+
+
+def average_precision(dets: List[dict], n_gt: int, *,
+                      iou_thresh: float = 0.5) -> float:
+    """Instance AP at one IoU threshold (COCO-style, single class).
+
+    ``dets``: [{'mask', 'score', 'gts': [gt bool masks of the same
+    image]}] pooled across images — each det carries ITS image's GT
+    list so images stay separable after pooling.  Detections are ranked
+    by score; each greedily matches the best still-unmatched GT of its
+    image at IoU >= ``iou_thresh``; AP integrates the interpolated
+    precision-recall curve over recall (the metric the reference's Mask
+    R-CNN is trained against, ``gs360_SegmentationMaskTool.py:262-288``).
+    """
+    if n_gt == 0:
+        return 1.0 if not dets else 0.0
+    order = sorted(range(len(dets)), key=lambda i: -dets[i]["score"])
+    matched: dict = {}
+    tp = np.zeros(len(order))
+    fp = np.zeros(len(order))
+    for rank, i in enumerate(order):
+        det = dets[i]
+        gts = det["gts"]
+        taken = matched.setdefault(id(gts), set())
+        best_iou, best_j = 0.0, -1
+        for j, g in enumerate(gts):
+            if j in taken:
+                continue
+            iou = mask_iou(det["mask"], g)
+            if iou > best_iou:
+                best_iou, best_j = iou, j
+        if best_iou >= iou_thresh:
+            taken.add(best_j)
+            tp[rank] = 1
+        else:
+            fp[rank] = 1
+    ctp = np.cumsum(tp)
+    cfp = np.cumsum(fp)
+    recall = ctp / n_gt
+    precision = ctp / np.maximum(ctp + cfp, 1e-9)
+    # interpolated precision (monotone non-increasing from the right)
+    for k in range(len(precision) - 2, -1, -1):
+        precision[k] = max(precision[k], precision[k + 1])
+    ap = 0.0
+    prev_r = 0.0
+    for k in range(len(recall)):
+        ap += (recall[k] - prev_r) * precision[k]
+        prev_r = recall[k]
+    return float(ap)
+
+
 def instance_masks(binary: np.ndarray, prob: np.ndarray, *,
                    score_thresh: float, max_count: int,
                    **split_kw) -> List[dict]:

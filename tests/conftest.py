@@ -21,3 +21,28 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run the slow tier (heavy interpret-mode kernel parities); "
+             "also enabled by GS360X_RUN_SLOW=1")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy interpret-mode kernel parity (run with --runslow or "
+        "GS360X_RUN_SLOW=1; the fast subset stays on by default)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    if config.getoption("--runslow") or os.environ.get("GS360X_RUN_SLOW"):
+        return
+    skip = _pytest.mark.skip(reason="slow tier: pass --runslow or set "
+                                    "GS360X_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

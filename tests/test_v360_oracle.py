@@ -83,6 +83,15 @@ CASES = [
     ("fisheye_v360", 190.0, 0.0, 0.0, 0.0, True),
 ]
 
+# interpret-mode wide3 traces of the tilt/deep-shear/fisheye cases cost
+# ~20-35 s each on CPU — slow tier; the yaw/seam/roll pallas cases and
+# every XLA case stay in the default run
+_PALLAS_SLOW = {(45.0, 30.0), (20.0, 60.0), (0.0, 0.0)}
+PALLAS_CASES = [
+    pytest.param(*c, marks=pytest.mark.slow)
+    if (c[2], c[3]) in _PALLAS_SLOW else c for c in CASES
+]
+
 
 @pytest.mark.parametrize("proj,hfov,yaw,pitch,roll,pole", CASES)
 def test_xla_backend_matches_oracle(pano, proj, hfov, yaw, pitch, roll, pole):
@@ -98,7 +107,7 @@ def test_xla_backend_matches_oracle(pano, proj, hfov, yaw, pitch, roll, pole):
     _assert_parity(got, oracle, valid, pole)
 
 
-@pytest.mark.parametrize("proj,hfov,yaw,pitch,roll,pole", CASES)
+@pytest.mark.parametrize("proj,hfov,yaw,pitch,roll,pole", PALLAS_CASES)
 def test_pallas_backend_matches_oracle(pano, proj, hfov, yaw, pitch, roll,
                                        pole):
     out = wp.warp_equirect_to_views_pallas(
