@@ -70,14 +70,22 @@ def main():
         templates.write_osmo360_default_calibration(calib_path)
     sensor_map, cam_map = df.load_metashape_calibration(calib_path)
     calib = next(iter(sensor_map.values()))
-    spec = df.build_sfm10_specs(view_px, 12.0, "36 36", 45.0, 45.0)[0]
-    mx, my, valid = df.build_direct_perspective_map(
-        calib, spec["yaw_deg"], spec["pitch_deg"], spec["hfov_deg"],
-        spec["vfov_deg"], view_px, view_px, 190.0)
-    log(f"[bench_remap] maps built: {mx.shape} valid={valid.mean():.3f}")
+    # the FRONT lens's half of the SFM10 layout (A, A_U, A_D, B, J) —
+    # one lens frame serves 5 views; a full pair doubles both sides, so
+    # views/s here is the chain's per-view rate
+    specs = [s for s in df.build_sfm10_specs(view_px, 12.0, "36 36",
+                                             45.0, 45.0)
+             if s["view_id"] in ("A", "A_U", "A_D", "B", "J")]
+    maps = []
+    for spec in specs:
+        yaw = spec["yaw_deg"]
+        yaw = yaw - 360.0 if yaw > 180.0 else yaw
+        mx, my, valid = df.build_direct_perspective_map(
+            calib, yaw, spec["pitch_deg"], spec["hfov_deg"],
+            spec["vfov_deg"], view_px, view_px, 190.0)
+        maps.append((mx, my, valid.astype(np.float32)))
+    log(f"[bench_remap] {len(maps)} maps built: {maps[0][0].shape}")
 
-    prep = remap_pallas.PreparedRemap(
-        mx, my, valid.astype(np.float32), src_w=size, src_h=size)
     rows = jnp.asarray(
         np.ascontiguousarray(frame).reshape(size, size * 3))
     rows.block_until_ready()
@@ -85,13 +93,33 @@ def main():
     def sync(out):
         return float(out[..., 0].sum())
 
-    def run():
-        return prep(rows, interp="bicubic")
+    # wide-v3 batched path (one launch for the lens's 5 views over one
+    # shared packed planarize); per-view PreparedRemap is the fallback
+    try:
+        batch = remap_pallas.PreparedRemapBatch(
+            maps, src_w=size, src_h=size, interp="bicubic")
 
-    per = timed_throughput(run, sync)
-    views_s = 1.0 / per
-    log(f"[bench_remap] sfm10 remap 3840^2 -> {view_px}px: "
-        f"{per * 1000:.1f} ms/view -> {views_s:.1f} views/s")
+        def run():
+            return batch(rows)
+
+        per = timed_throughput(run, sync)
+        views_s = len(maps) / per
+        log(f"[bench_remap] sfm10 wide3 batch 3840^2 -> {view_px}px "
+            f"x{len(maps)}: {per * 1000:.1f} ms -> {views_s:.1f} views/s")
+    except Exception as exc:
+        log(f"[bench_remap] batch path failed "
+            f"({type(exc).__name__}: {str(exc)[:200]}); "
+            "falling back to per-view")
+        prep = remap_pallas.PreparedRemap(
+            maps[0][0], maps[0][1], maps[0][2], src_w=size, src_h=size)
+
+        def run():
+            return prep(rows, interp="bicubic")
+
+        per = timed_throughput(run, sync)
+        views_s = 1.0 / per
+        log(f"[bench_remap] sfm10 per-view remap 3840^2 -> {view_px}px: "
+            f"{per * 1000:.1f} ms/view -> {views_s:.1f} views/s")
 
     # reference CPU anchor: cv2.remap bicubic at 1750px runs ~2-4
     # views/s/core (reference hot loop); use 3.0 as the comparison point

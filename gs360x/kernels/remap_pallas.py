@@ -32,9 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gs360x.kernels.warp_pallas import (
     H_MARGIN, ROW_CLASSES, TILE_COLS, TILE_ROWS, V_MARGIN,
-    WIN_COLS, PallasFallback, _planar_source, _resample_tile_planar)
+    WIN_COLS, WIDE2_BPR, WIDE3_FLAG_CHUNK, PallasFallback,
+    _catmull_rom_weights, _lagrange_weights, _linear_weights,
+    _n_planes, _planar_source, _resample_group_wide3,
+    _resample_tile_planar, _wide3_plan_from_uv)
 
-__all__ = ["PreparedRemap", "remap_pallas", "plan_remap_tiles"]
+__all__ = ["PreparedRemap", "PreparedRemapBatch", "remap_pallas",
+           "plan_remap_tiles"]
 
 
 # --------------------------------------------------------------------------
@@ -241,6 +245,346 @@ class PreparedRemap:
                           win_rows=self.win_rows, fill=float(fill),
                           interpret=interpret)
         out = out[:, :self.out_h, :self.out_w]
+        if planar:
+            return out
+        return jnp.moveaxis(out, 0, -1)
+
+
+# --------------------------------------------------------------------------
+# Wide-v3 batched remap: de-sheared residual windows over static maps
+# --------------------------------------------------------------------------
+#
+# The v1 remap core above pays the full chunk-sweep per (group, chunk)
+# like the original wide kernel; the SFM10 dual-fisheye chain
+# (``gs360_DualFisheyeDistortionCalibration.py:1996-2055``) is exactly
+# the geometry the wide-v3 machinery was built for — smooth maps, known
+# on host — so this path reuses the v3 planner on the static maps
+# (``_wide3_plan_from_uv`` with ``wrap=False``) and the v3 SIMD
+# resample, and BATCHES all views of a rig into one kernel launch over
+# one shared planarized (and packed) source.
+
+
+def plan_remap_wide3(map_x: np.ndarray, map_y: np.ndarray,
+                     valid: Optional[np.ndarray], src_w: int, src_h: int,
+                     interp: str, force=None):
+    """Wide-v3 plan tuple for one static map (or None when out of
+    budget / taps leave the image)."""
+    n_taps = 4 if interp in ("bicubic", "catmull-rom") else 2
+    koff = -1 if n_taps == 4 else 0
+    u = np.clip(np.asarray(map_x, np.float64), 0.0, src_w - 1.001)
+    v = np.asarray(map_y, np.float64)
+    vb = (np.ones(u.shape, bool) if valid is None
+          else np.asarray(valid) > 0.5)
+    return _wide3_plan_from_uv(u, v, vb, src_w, src_h, is_fish=False,
+                               wrap=False, n_taps=n_taps, koff=koff,
+                               force=force)
+
+
+def _remap_kernel_wide3(tab_ref,         # scalar-prefetch (3+NG+MB, n_t)
+                        mapx_ref,        # (1, TILE_ROWS, TILE_COLS)
+                        mapy_ref,
+                        validf_ref,
+                        src_hbm,         # (3|planes, H8, W'') planar HBM
+                        cs_hbm,          # (1, CSB, NG, 128) i32 block
+                        out_ref,         # (1, 3, TILE_ROWS, TILE_COLS)
+                        win_raw, acc, sems,
+                        *, interp: str, win_rows: int, resid_lo: int,
+                        resid_hi: int, spread_lo: int, src_w: int,
+                        src_h: int, mb: int, cs_blocks: int,
+                        has_chunk: bool, packed: int, fill: float):
+    """Wide-v3 resample over static maps: the warp kernel's DMA plan and
+    group dispatch (:func:`warp_pallas._warp_kernel_wide3`) with the ray
+    math replaced by map-block reads."""
+    R = win_rows
+    NG = TILE_ROWS // 8
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    def tile_tab(tt):
+        return tab_ref[0, tt], tab_ref[1, tt]     # b0, nblk
+
+    b0_t, nblk_t = tile_tab(t)
+    rounds_t = (nblk_t + WIDE2_BPR - 1) // WIDE2_BPR
+
+    def dma_blk(slot, tt, bi, b):
+        b0n, _ = tile_tab(tt)
+        rm = pl.multiple_of((tab_ref[3 + NG + b, tt] // 8) * 8, 8)
+        bcol = pl.multiple_of((b0n + b) * 128, 128)
+        return pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(rm, R), pl.ds(bcol, 128)],
+            win_raw.at[slot, :, :, pl.ds(bi * 128, 128)],
+            sems.at[slot, bi])
+
+    def start_r0(slot, tt):
+        _, nblk_n = tile_tab(tt)
+        for bi in range(WIDE2_BPR):
+            @pl.when(bi < nblk_n)
+            def _(bi=bi):
+                dma_blk(slot, tt, bi, bi).start()
+
+    slot0 = t % 2
+
+    @pl.when(t == 0)
+    def _():
+        start_r0(0, 0)
+
+    # ---- geometry: straight from the map blocks ----
+    u = jnp.clip(mapx_ref[0], 0.0, src_w - 1.001)
+    vcl = jnp.clip(mapy_ref[0], 0.0, src_h - 1.001)
+    valid = validf_ref[0] > 0.5
+
+    x0 = jnp.floor(u).astype(jnp.int32)
+    fx = u - jnp.floor(u)
+    y0 = jnp.floor(vcl).astype(jnp.int32)
+    fy = vcl - jnp.floor(vcl)
+    if interp in ("bicubic", "catmull-rom"):
+        hw = (_lagrange_weights(fx) if interp == "bicubic"
+              else _catmull_rom_weights(fx))
+        vw = (_lagrange_weights(fy) if interp == "bicubic"
+              else _catmull_rom_weights(fy))
+        koff = -1
+    else:
+        hw = _linear_weights(fx)
+        vw = _linear_weights(fy)
+        koff = 0
+    n_taps = len(hw)
+
+    for c in range(3):
+        acc[c] = jnp.zeros((TILE_ROWS, TILE_COLS), jnp.float32)
+
+    def block_cs(b, g):
+        row = cs_hbm[0, pl.ds(jnp.minimum(b, cs_blocks - 1), 1), g, :]
+        return jnp.broadcast_to(row.reshape(1, TILE_COLS),
+                                (8, TILE_COLS))
+
+    for bi in range(WIDE2_BPR):
+        @pl.when(bi < nblk_t)
+        def _(bi=bi):
+            dma_blk(slot0, t, bi, bi).wait()
+            rm_b = tab_ref[3 + NG + bi, t]
+            for g in range(NG):
+                _resample_group_wide3(
+                    g, win_raw, slot0, bi * 128, block_cs(bi, g),
+                    (b0_t + bi) * 128, tab_ref[3 + g, t], x0, hw, y0,
+                    vw, rm_b, acc, valid, vcl, win_rows=R,
+                    resid_lo=resid_lo, resid_hi=resid_hi,
+                    spread_lo=spread_lo, n_taps=n_taps, koff=koff,
+                    src_h=src_h, has_chunk=has_chunk, packed=packed)
+
+    @pl.when((rounds_t <= 1) & (t + 1 < n_t))
+    def _():
+        start_r0((t + 1) % 2, t + 1)
+
+    if mb > WIDE2_BPR:
+        def round_body(rr, _):
+            for bi in range(WIDE2_BPR):
+                b = rr * WIDE2_BPR + bi
+
+                @pl.when(b < nblk_t)
+                def _(bi=bi, b=b):
+                    cp = dma_blk(2, t, bi, b)
+                    cp.start()
+                    cp.wait()
+            for bi in range(WIDE2_BPR):
+                b = rr * WIDE2_BPR + bi
+
+                @pl.when(b < nblk_t)
+                def _(bi=bi, b=b):
+                    rm_b = tab_ref[3 + NG + b, t]
+                    for g in range(NG):
+                        _resample_group_wide3(
+                            g, win_raw, 2, bi * 128, block_cs(b, g),
+                            (b0_t + b) * 128, tab_ref[3 + g, t], x0,
+                            hw, y0, vw, rm_b, acc, valid, vcl,
+                            win_rows=R, resid_lo=resid_lo,
+                            resid_hi=resid_hi, spread_lo=spread_lo,
+                            n_taps=n_taps, koff=koff, src_h=src_h,
+                            has_chunk=has_chunk, packed=packed)
+            return 0
+
+        jax.lax.fori_loop(1, rounds_t, round_body, 0)
+
+        @pl.when((rounds_t > 1) & (t + 1 < n_t))
+        def _():
+            start_r0((t + 1) % 2, t + 1)
+
+    vf = valid.astype(jnp.float32)
+    scale = (1.0 / 255.0) if packed else 1.0
+    for c in range(3):
+        out_ref[0, c, :, :] = (acc[c] * (vf * scale)
+                               + fill * (1.0 - vf))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_h", "out_w", "src_w", "src_h", "interp",
+                     "win_rows", "resid_lo", "resid_hi", "spread_lo",
+                     "n_views", "mb", "cs_blocks", "has_chunk", "packed",
+                     "fill", "interpret"))
+def _remap_call_wide3(src_rows, mapx, mapy, validf, tab, cs, *, out_h,
+                      out_w, src_w, src_h, interp, win_rows, resid_lo,
+                      resid_hi, spread_lo, n_views, mb, cs_blocks,
+                      has_chunk, packed, fill, interpret=False):
+    n_tiles_x = out_w // TILE_COLS
+    tiles_per_view = (out_h // TILE_ROWS) * n_tiles_x
+    n_tiles = tiles_per_view * n_views
+
+    kernel = functools.partial(
+        _remap_kernel_wide3, interp=interp, win_rows=win_rows,
+        resid_lo=resid_lo, resid_hi=resid_hi, spread_lo=spread_lo,
+        src_w=src_w, src_h=src_h, mb=mb, cs_blocks=cs_blocks,
+        has_chunk=has_chunk, packed=packed, fill=fill)
+
+    def blk(t, tab):
+        return (t // tiles_per_view,
+                (t % tiles_per_view) // n_tiles_x,
+                (t % tiles_per_view) % n_tiles_x)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, TILE_ROWS, TILE_COLS), blk),   # mapx
+            pl.BlockSpec((1, TILE_ROWS, TILE_COLS), blk),   # mapy
+            pl.BlockSpec((1, TILE_ROWS, TILE_COLS), blk),   # valid
+            pl.BlockSpec(memory_space=pl.ANY),              # src in HBM
+            pl.BlockSpec((1, cs_blocks, TILE_ROWS // 8, TILE_COLS),
+                         lambda t, tab: (t, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, TILE_ROWS, TILE_COLS),
+            lambda t, tab: (t // tiles_per_view,
+                            0,
+                            (t % tiles_per_view) // n_tiles_x,
+                            (t % tiles_per_view) % n_tiles_x)),
+        scratch_shapes=[
+            pltpu.VMEM((3, _n_planes(packed), win_rows,
+                        WIDE2_BPR * TILE_COLS), src_rows.dtype),
+            pltpu.VMEM((3, TILE_ROWS, TILE_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, WIDE2_BPR)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_views, 3, out_h, out_w),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(tab, mapx, mapy, validf, src_rows, cs)
+
+
+class PreparedRemapBatch:
+    """A whole rig's static maps planned once and run as ONE device
+    program per frame over one shared (packed) planarized source.
+
+    The SFM10 chain cuts 10 perspective views from each fisheye frame;
+    per-view :class:`PreparedRemap` calls pay the v1 chunk-sweep core
+    and re-planarize the source per view.  This path plans every map
+    through the wide-v3 machinery (de-sheared residual windows, SIMD
+    sweep), harmonizes the per-map classes like the mixed-view warp
+    dispatch does, and batches all views into a single grid.
+
+    Raises :class:`PallasFallback` when any map exceeds the v3 budgets
+    (callers keep the per-view path as fallback).
+    """
+
+    def __init__(self, maps, *, src_w: int, src_h: int,
+                 interp: str = "bicubic"):
+        if not maps:
+            raise ValueError("PreparedRemapBatch: no maps")
+        self.interp = interp
+        self.out_h, self.out_w = np.asarray(maps[0][0]).shape
+        mxs, mys, vfs, plans = [], [], [], []
+        for (mx, my, valid) in maps:
+            mx_raw = np.asarray(mx, np.float32)
+            mx = _pad_to_tiles(mx_raw)
+            my = _pad_to_tiles(np.asarray(my, np.float32))
+            vf = _pad_to_tiles(
+                np.ones(mx_raw.shape, np.float32)
+                if valid is None else np.asarray(valid, np.float32),
+                mode="constant")
+            if mx.shape != (self.out_h + (-self.out_h) % TILE_ROWS,
+                            self.out_w + (-self.out_w) % TILE_COLS):
+                raise ValueError("PreparedRemapBatch: maps must share "
+                                 "one output size")
+            plan = plan_remap_wide3(mx, my, vf, src_w, src_h, interp)
+            if plan is None:
+                raise PallasFallback(
+                    "remap map exceeds the wide-v3 budgets")
+            mxs.append(mx)
+            mys.append(my)
+            vfs.append(vf)
+            plans.append(plan)
+
+        # harmonize per-map classes with pinned re-plans (the mixed-view
+        # warp dispatch's exact protocol)
+        win = max(p[0] for p in plans)
+        rlo = max(p[1] for p in plans)
+        rhi = max(p[2] for p in plans)
+        slo = max(p[3] for p in plans)
+        mb = max(p[4] for p in plans) * WIDE2_BPR
+        if slo == 0:
+            rlo = rhi
+        fkey = (win, rlo, rhi, slo)
+        for i, p in enumerate(plans):
+            if (p[0], p[1], p[2], p[3]) != fkey:
+                plans[i] = plan_remap_wide3(mxs[i], mys[i], vfs[i],
+                                            src_w, src_h, interp,
+                                            force=fkey)
+                if plans[i] is None:
+                    raise PallasFallback(
+                        "remap map re-plan failed at batch classes")
+        ng = TILE_ROWS // 8
+        cs_blocks = min(mb, max(p[7].shape[1] for p in plans))
+        self.has_chunk = any(
+            (p[6][:, 3:3 + ng] == WIDE3_FLAG_CHUNK).any() for p in plans)
+        tab_rows, cs_rows = [], []
+        for p in plans:
+            tab, cs = p[6], p[7]
+            n_t, w_t = tab.shape
+            if w_t - 3 - ng < mb:
+                tab = np.concatenate(
+                    [tab, np.zeros((n_t, mb - (w_t - 3 - ng)),
+                                   np.int32)], axis=1)
+            if cs.shape[1] < cs_blocks:
+                cs = np.concatenate(
+                    [cs, np.zeros((n_t, cs_blocks - cs.shape[1])
+                                  + cs.shape[2:], np.int32)], axis=1)
+            tab_rows.append(tab)
+            cs_rows.append(cs)
+        self.tab = jnp.asarray(np.concatenate(tab_rows, axis=0).T.copy())
+        self.cs = jnp.asarray(np.concatenate(cs_rows, axis=0))
+        self.win_rows, self.resid_lo, self.resid_hi, self.spread_lo = fkey
+        self.mb = mb
+        self.cs_blocks = cs_blocks
+        self.n_views = len(maps)
+        self.src_w, self.src_h = src_w, src_h
+        self.mapx = jnp.asarray(np.stack(mxs))
+        self.mapy = jnp.asarray(np.stack(mys))
+        self.validf = jnp.asarray(np.stack(vfs))
+
+    def __call__(self, src, *, fill: float = 0.0, planar: bool = True,
+                 interpret: bool = False):
+        """Warp one frame through every map: (V, 3, H, W) float32."""
+        rows = src.reshape(src.shape[0], src.shape[1] * 3) \
+            if src.ndim == 3 else src
+        rows = jnp.asarray(rows)
+        packed = 3 if rows.dtype == jnp.uint8 else 0
+        padded = _planar_source(rows, interpret=interpret,
+                                pack_rg=packed)
+        out = _remap_call_wide3(
+            padded, self.mapx, self.mapy, self.validf, self.tab,
+            self.cs, out_h=int(self.mapx.shape[1]),
+            out_w=int(self.mapx.shape[2]), src_w=self.src_w,
+            src_h=self.src_h, interp=self.interp,
+            win_rows=self.win_rows, resid_lo=self.resid_lo,
+            resid_hi=self.resid_hi, spread_lo=self.spread_lo,
+            n_views=self.n_views, mb=self.mb, cs_blocks=self.cs_blocks,
+            has_chunk=self.has_chunk, packed=packed, fill=float(fill),
+            interpret=interpret)
+        out = out[:, :, :self.out_h, :self.out_w]
         if planar:
             return out
         return jnp.moveaxis(out, 0, -1)

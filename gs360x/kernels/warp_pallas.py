@@ -1557,7 +1557,11 @@ def _resample_group_chunkloop(win_raw, slot, bi_lane0, bcol_local,
 
         def chunk_body(tchunk, accs, relb=relb, wfb=wfb, ym=ym,
                        vwr=vwr):
-            r0 = pl.multiple_of(tchunk * 8, 8)
+            # the window read clamps so an overshot trip (the unrolled
+            # loop's remainder) reads a valid chunk; its weights are
+            # already zero (no tap's ym//8 equals the overshot tchunk)
+            r0 = pl.multiple_of(
+                jnp.minimum(tchunk, R // 8 - 1) * 8, 8)
             ry = [[jnp.broadcast_to(jnp.clip(ym[r][m] - r0, 0, 7),
                                     (8, TILE_COLS))
                    for m in range(n_taps)] for r in range(GROUP)]
@@ -1604,7 +1608,14 @@ def _resample_group_chunkloop(win_raw, slot, bi_lane0, bcol_local,
             return tuple(out)
 
         init = tuple(acc[c, rows, :] for c in range(3))
-        vals = jax.lax.fori_loop(tg_lo, tg_hi, chunk_body, init)
+        # unroll pairs of chunk trips for gather-latency overlap (the
+        # wide3 sweep's unroll lever); overshot trips are exact no-ops
+        def chunk_pair(i2, accs):
+            accs = chunk_body(tg_lo + i2 * 2, accs)
+            return chunk_body(tg_lo + i2 * 2 + 1, accs)
+
+        vals = jax.lax.fori_loop(0, (tg_hi - tg_lo + 1) // 2,
+                                 chunk_pair, init)
         for c in range(3):
             acc[c, rows, :] = vals[c]
 
@@ -2026,9 +2037,7 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
     u, v = _np_view_coords_strided(width, height, hfov_deg, vfov_deg, rot,
                                    src_w, src_h, stride=1, true_w=true_w,
                                    true_h=true_h, projection=projection)
-    w = float(src_w)
-    u = np.mod(u, w)
-    vcl = np.clip(v, 0.0, src_h - 1.0)
+    u = np.mod(u, float(src_w))
     if projection == "perspective":
         valid = np.ones_like(u, dtype=bool)
     else:
@@ -2036,6 +2045,24 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
         ys = (2.0 * np.arange(height) + 1.0) / true_h - 1.0
         nxg, nyg = np.meshgrid(xs, ys)
         valid = np.hypot(nxg, nyg) <= 1.0
+    return _wide3_plan_from_uv(u, v, valid, src_w, src_h,
+                               is_fish=projection != "perspective",
+                               wrap=True, n_taps=n_taps, koff=koff,
+                               force=force)
+
+
+def _wide3_plan_from_uv(u, v, valid, src_w, src_h, *, is_fish: bool,
+                        wrap: bool, n_taps: int, koff: int, force=None):
+    """Generic wide-v3 table builder over precomputed source coords.
+
+    Shared by :func:`_wide3_plan_view` (ray-math geometry, ``wrap=True``
+    — equirect sources are horizontally periodic, so per-tile anchors
+    unwrap the seam) and :func:`_wide3_plan_maps` (static ``cv2.remap``
+    -style maps, ``wrap=False`` — plain min/max column windows).  See
+    :func:`_wide3_plan_view` for the table/branch semantics."""
+    height, width = u.shape
+    w = float(src_w)
+    vcl = np.clip(v, 0.0, src_h - 1.0)
     pad_w = _planar_width(src_w)
     n_ty, n_tx = height // TILE_ROWS, width // TILE_COLS
     n_tiles = n_ty * n_tx
@@ -2044,7 +2071,6 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
     vm4 = valid.reshape(n_ty, TILE_ROWS, n_tx, TILE_COLS)
     plain_anchor = src_w // 2 + 4
 
-    is_fish = projection != "perspective"
     n_groups_c = TILE_ROWS // 8
 
     # pass 1: per-tile blocks + per-(block, column) tap-row extrema
@@ -2064,25 +2090,38 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
             if not mt.any():
                 tile_rows.append((0, 0, plain_anchor, [], []))
                 continue
-            ang = ut[mt] * (2.0 * math.pi / w)
-            anchor = math.atan2(np.sin(ang).mean(),
-                                np.cos(ang).mean()) * w / (2.0 * math.pi)
-            anchor = float(np.mod(anchor, w))
-            for try_anchor in (anchor, float(plain_anchor)):
-                ua = try_anchor + np.mod(ut - try_anchor + w / 2.0, w) \
-                    - w / 2.0
+            if wrap:
+                ang = ut[mt] * (2.0 * math.pi / w)
+                anchor = math.atan2(
+                    np.sin(ang).mean(),
+                    np.cos(ang).mean()) * w / (2.0 * math.pi)
+                anchor = float(np.mod(anchor, w))
+                for try_anchor in (anchor, float(plain_anchor)):
+                    ua = try_anchor + np.mod(ut - try_anchor + w / 2.0,
+                                             w) - w / 2.0
+                    uam = ua[mt]
+                    lo = int(np.floor(uam.min())) - 2
+                    hi = int(np.floor(uam.max())) + 3
+                    if lo < 0:
+                        try_anchor += w
+                        ua = ua + w
+                        lo += src_w
+                        hi += src_w
+                    if hi < pad_w - 1:
+                        break
+                else:
+                    return None
+            else:
+                # non-periodic source (static remap maps): plain
+                # min/max column window; taps must stay inside the
+                # image (the caller falls back otherwise)
+                try_anchor = 0.0
+                ua = ut
                 uam = ua[mt]
                 lo = int(np.floor(uam.min())) - 2
                 hi = int(np.floor(uam.max())) + 3
-                if lo < 0:
-                    try_anchor += w
-                    ua = ua + w
-                    lo += src_w
-                    hi += src_w
-                if hi < pad_w - 1:
-                    break
-            else:
-                return None
+                if lo < 0 or hi >= pad_w - 1:
+                    return None
             b0 = lo // 128
             nblk = hi // 128 - b0 + 1
             nblk_max = max(nblk_max, nblk)
@@ -2404,19 +2443,21 @@ def _build_vsel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
     masks = [csb == cval for cval in range(1, ncs + 1)]
     vsel = []
     for c in range(nch):
+        # hoist chunk reads: (vv, cval) pairs share chunk = vv + cval,
+        # so ncs + nvv distinct reads serve the nvv * (ncs + 1) chain
+        # slots (the chains re-materialized each read before)
+        reads = []
+        for chunk in range(ncs + nvv):
+            data = win_raw[slot, c, chunk * 8:(chunk + 1) * 8,
+                           bi_lane0:bi_lane0 + TILE_COLS]
+            if data.dtype != jnp.float32:
+                data = data.astype(jnp.int32).astype(jnp.float32)
+            reads.append(data)
         per_vv = []
         for vv in range(nvv):
-            tgt = win_raw[slot, c, vv * 8:(vv + 1) * 8,
-                          bi_lane0:bi_lane0 + TILE_COLS]
-            if tgt.dtype != jnp.float32:
-                tgt = tgt.astype(jnp.int32).astype(jnp.float32)
+            tgt = reads[vv]
             for cval in range(1, ncs + 1):
-                chunk = cval + vv
-                data = win_raw[slot, c, chunk * 8:(chunk + 1) * 8,
-                               bi_lane0:bi_lane0 + TILE_COLS]
-                if data.dtype != jnp.float32:
-                    data = data.astype(jnp.int32).astype(jnp.float32)
-                tgt = jnp.where(masks[cval - 1], data, tgt)
+                tgt = jnp.where(masks[cval - 1], reads[vv + cval], tgt)
             per_vv.append(tgt)
         vsel.append(per_vv)
     return vsel
@@ -2448,12 +2489,16 @@ def _build_vsel_rel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
 
     vsel = []
     for c in range(nch):
+        # hoist the dynamic-start reads: (vv, cval) pairs share the
+        # chunk index cs_min + vv + cval, so spread + nvv distinct
+        # reads serve every chain slot
+        reads = [read(c, jnp.minimum(cs_min + i, top))
+                 for i in range(spread + nvv)]
         per_vv = []
         for vv in range(nvv):
-            tgt = read(c, jnp.minimum(cs_min + vv, top))
+            tgt = reads[vv]
             for cval in range(1, spread + 1):
-                data = read(c, jnp.minimum(cs_min + cval + vv, top))
-                tgt = jnp.where(masks[cval - 1], data, tgt)
+                tgt = jnp.where(masks[cval - 1], reads[vv + cval], tgt)
             per_vv.append(tgt)
         vsel.append(per_vv)
     return vsel
@@ -2616,7 +2661,30 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
 
         n_trips = (jnp.int32(1) if stop == "trip1"
                    else dx_hi - dx_lo + n_taps)
-        jax.lax.fori_loop(0, n_trips, body, 0)
+        # GS360X_WIDE3_UNROLL=u runs the sweep u trips per fori
+        # iteration (default 8 — v5e-measured: tilt 71->103,
+        # full360 101->142, fisheye 38->50 views/s vs the single-trip
+        # loop; ~flat beyond 8).  Overshot trips are EXACT no-ops: for
+        # k2 >= n_trips, dxr <= dx_hi-dx_lo < k2-kk for every tap kk,
+        # so wsel selects zero weight everywhere (gathers stay clamped
+        # in-range) — no masking needed, and the straight-line trip
+        # block gives Mosaic the gather-latency overlap a dynamic
+        # single-trip loop can't.
+        unroll_env = _os.environ.get("GS360X_WIDE3_UNROLL", "8").strip()
+        if not unroll_env.isdigit() or not 1 <= int(unroll_env) <= 16:
+            raise ValueError(
+                f"GS360X_WIDE3_UNROLL={unroll_env!r}: expected an int "
+                "in [1, 16]")
+        unroll = int(unroll_env)
+        if unroll == 1:
+            jax.lax.fori_loop(0, n_trips, body, 0)
+        else:
+            def body_u(i, carry):
+                for uu in range(unroll):
+                    body(i * unroll + uu, carry)
+                return carry
+            jax.lax.fori_loop(0, (n_trips + unroll - 1) // unroll,
+                              body_u, 0)
 
     nch = _n_planes(packed)
     hi_cond = touch if spread_lo == 0 else touch & (flag_g != 0)
@@ -2929,7 +2997,7 @@ class PallasFallback(Exception):
 
 def check_view_budgets(yaws, pitches, rolls, *, width: int, height: int,
                        hfov_deg: float, vfov_deg: float, src_w: int,
-                       src_h: int) -> None:
+                       src_h: int, projection: str = "perspective") -> None:
     """Raise :class:`PallasFallback` unless EVERY view fits a kernel class
     (narrow/yaw or wide). Lets multi-device dispatchers validate a plan
     before building sharded programs."""
@@ -2938,10 +3006,11 @@ def check_view_budgets(yaws, pitches, rolls, *, width: int, height: int,
     out_h = height + (-height) % TILE_ROWS        # narrow/wide tile grid
     out_h_yaw = height + (-height) % YAW_TILE_ROWS  # yaw tile grid
     out_h_yaw = height + (-height) % YAW_TILE_ROWS
+    persp = projection == "perspective"
     for yv, pv, rv in zip(np.asarray(yaws, np.float64).reshape(-1),
                           np.asarray(pitches, np.float64).reshape(-1),
                           np.asarray(rolls, np.float64).reshape(-1)):
-        if float(pv) % 360.0 == 0.0 and float(rv) % 360.0 == 0.0 \
+        if persp and float(pv) % 360.0 == 0.0 and float(rv) % 360.0 == 0.0 \
                 and any(plan_view(out_w, out_h_yaw, hfov_deg, vfov_deg,
                                   float(yv), float(pv), float(rv), src_w,
                                   src_h, true_w=width, true_h=height,
@@ -2950,23 +3019,26 @@ def check_view_budgets(yaws, pitches, rolls, *, width: int, height: int,
                                   win_cols=wc) is not None
                         for wc in YAW_WIN_CLASSES):
             continue
-        if plan_view(out_w, out_h, hfov_deg, vfov_deg, float(yv),
-                     float(pv), float(rv), src_w, src_h, true_w=width,
-                     true_h=height) is None \
+        if (not persp or plan_view(
+                out_w, out_h, hfov_deg, vfov_deg, float(yv),
+                float(pv), float(rv), src_w, src_h, true_w=width,
+                true_h=height) is None) \
                 and _wide2_plan_view(out_w, out_h, float(hfov_deg),
                                      float(vfov_deg), float(yv),
                                      float(pv), float(rv), src_w, src_h,
                                      width, height,
-                                     "perspective") is None \
-                and plan_view(out_w, out_h, hfov_deg, vfov_deg,
-                              float(yv), float(pv), float(rv), src_w,
-                              src_h, true_w=width, true_h=height,
-                              row_classes=TILT_ROW_CLASSES,
-                              win_cols=TILT_WIN_COLS) is None \
+                                     projection) is None \
+                and (not persp or plan_view(
+                    out_w, out_h, hfov_deg, vfov_deg,
+                    float(yv), float(pv), float(rv), src_w,
+                    src_h, true_w=width, true_h=height,
+                    row_classes=TILT_ROW_CLASSES,
+                    win_cols=TILT_WIN_COLS) is None) \
                 and plan_view_wide(out_w, out_h, hfov_deg, vfov_deg,
                                    float(yv), float(pv), float(rv),
                                    src_w, src_h, true_w=width,
-                                   true_h=height) is None:
+                                   true_h=height,
+                                   projection=projection) is None:
             raise PallasFallback(
                 f"view yaw={yv} pitch={pv} exceeds window budgets")
 

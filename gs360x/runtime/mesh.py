@@ -94,6 +94,7 @@ def warp_frames_sharded_pallas(mesh: Mesh, frames_rows: jnp.ndarray, yaws,
                                pitches, rolls, *, width: int, height: int,
                                hfov_deg: float, vfov_deg: float,
                                interp: str = "bicubic",
+                               projection: str = "perspective",
                                keep_rec709=None, quantize_bits=None,
                                interpret: bool = False):
     """Data-parallel PALLAS warp: each device runs the fused Mosaic kernel
@@ -135,7 +136,8 @@ def warp_frames_sharded_pallas(mesh: Mesh, frames_rows: jnp.ndarray, yaws,
             out = wp.warp_equirect_to_views_pallas(
                 rows_shard[b], yaws, pitches, rolls, width=width,
                 height=height, hfov_deg=hfov_deg, vfov_deg=vfov_deg,
-                interp=interp, planar=True, interpret=interpret)
+                projection=projection, interp=interp, planar=True,
+                interpret=interpret)
             if keep_rec709 is not None:
                 out = colorlib.video_color_move_planar(
                     out, keep_rec709=keep_rec709)
@@ -152,7 +154,7 @@ def warp_frames_sharded_pallas(mesh: Mesh, frames_rows: jnp.ndarray, yaws,
         yaws, pitches, rolls, width=width, height=height,
         hfov_deg=hfov_deg, vfov_deg=vfov_deg,
         src_w=int(frames_rows.shape[2]) // 3,
-        src_h=int(frames_rows.shape[1]))
+        src_h=int(frames_rows.shape[1]), projection=projection)
 
     sharded = jax.device_put(
         frames_rows, NamedSharding(mesh, P(DATA_AXIS, None, None)))

@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# the wide-kernel sweep unroll is a pure perf lever (overshot trips are
+# exact no-ops) but interpret mode EXECUTES every unrolled trip — at the
+# production default (8) the CPU kernel parities run ~4-8x slower.  Pin
+# 1 for tests; unroll parity itself is A/B'd on chip and was verified in
+# interpret mode at 1/2/4/8 when the lever landed.
+os.environ.setdefault("GS360X_WIDE3_UNROLL", "1")
 
 import jax  # noqa: E402
 
