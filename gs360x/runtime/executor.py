@@ -135,14 +135,19 @@ def _warp_frame_views(frame: np.ndarray, views, *, interp: str,
                       quantize_bits: Optional[int] = None):
     """Warp one decoded frame through all plan views.
 
-    Returns [(array, planar_bool), ...] in view order. The pallas fast path
-    consumes the frame as (H, W*3) rows (free host reshape) and returns
-    planar (3, h, w) outputs; the channel interleave happens in the encode
-    threads. Ineligible views (fisheye projections, extreme geometry) fall
-    back to the XLA HWC path. When ``keep_rec709`` is not None the video
-    color move runs on device — on the warped planar outputs (pointwise, so
-    it commutes with resampling within interpolation tolerance, and touches
-    ~15x fewer pixels than the source).
+    Returns [(parent, view_idx, planar_bool), ...] in view order, where
+    ``parent`` is the group's BATCHED device result shared across its
+    views — consumers fetch each parent once (one tunnel RPC) and slice
+    on host via :class:`_ViewFetcher`; fetching ``parent[j]`` per view
+    would pay one RPC plus one device slice program per view (measured
+    ~2.5 s/view over the axon tunnel). The pallas fast path consumes the
+    frame as (H, W*3) rows (free host reshape) and returns planar
+    (3, h, w) outputs; the channel interleave happens in the encode
+    threads. Ineligible views (fisheye projections, extreme geometry)
+    fall back to the XLA HWC path. When ``keep_rec709`` is not None the
+    video color move runs on device — on the warped planar outputs
+    (pointwise, so it commutes with resampling within interpolation
+    tolerance, and touches ~15x fewer pixels than the source).
     """
     from gs360x.core import color as colorlib
     from gs360x.kernels import warp_pallas
@@ -188,7 +193,7 @@ def _warp_frame_views(frame: np.ndarray, views, *, interp: str,
                     else "bilinear", planar=True)
                 out = color(out, True)
                 for j, i in enumerate(idxs):
-                    results[i] = (out[j], True)
+                    results[i] = (out, j, True)
                 done = True
             except warp_pallas.PallasFallback:
                 pass
@@ -205,8 +210,31 @@ def _warp_frame_views(frame: np.ndarray, views, *, interp: str,
                 interp=interp)
             out = color(out, False)
             for j, i in enumerate(idxs):
-                results[i] = (out[j], False)
+                results[i] = (out, j, False)
     return results
+
+
+class _ViewFetcher:
+    """Lazy bulk fetch for per-view warp outputs.
+
+    Outputs arrive as ``(parent, view_idx, planar)`` triples whose
+    parents are shared across a frame's views. Each distinct parent is
+    ``jax.device_get`` exactly once, on first use — one tunnel RPC per
+    (group, frame) instead of one per view, while overwrite-skipped
+    entries stay free. ``view_idx is None`` means the entry is already
+    a per-view array (the sharded batch path pre-fetches in bulk)."""
+
+    def __init__(self, timers):
+        self._timers = timers
+        self._cache: Dict[int, np.ndarray] = {}
+
+    def __call__(self, parent, view_idx):
+        buf = self._cache.get(id(parent))
+        if buf is None:
+            with self._timers.stage("fetch"):
+                buf = np.asarray(jax.device_get(parent))
+            self._cache[id(parent)] = buf
+        return buf if view_idx is None else buf[view_idx]
 
 
 def run_plan(plan: RenderPlan, *,
@@ -288,9 +316,9 @@ def _run_images(plan, writer, report, stop_event, tick, backend, interp,
     def drain(entry):
         nonlocal done
         jobs, outs = entry
-        for job, (out, planar) in zip(jobs, outs):
-            with timers.stage("fetch"):
-                arr = np.asarray(jax.device_get(out))
+        fetch = _ViewFetcher(timers)
+        for job, (out, j, planar) in zip(jobs, outs):
+            arr = fetch(out, j)
             img = arr if arr.dtype != np.float32 else \
                 imagelib.from_float01(arr, 16 if plan.bit_depth > 8 else 8)
             writer.submit(plan.out_dir / job.output_name, img,
@@ -367,7 +395,7 @@ def _warp_frames_batch(frames, views, *, interp, keep_rec709,
                 out_np = np.asarray(out)
                 for f in range(len(frames)):
                     for j, i in enumerate(idxs):
-                        results[f][i] = (out_np[f, j], True)
+                        results[f][i] = (out_np[f, j], None, True)
                 done = True
             except warp_pallas.PallasFallback:
                 pass
@@ -384,7 +412,7 @@ def _warp_frames_batch(frames, views, *, interp, keep_rec709,
             out_np = np.asarray(out)
             for f in range(len(frames)):
                 for j, i in enumerate(idxs):
-                    results[f][i] = (out_np[f, j], False)
+                    results[f][i] = (out_np[f, j], None, False)
     return results
 
 
@@ -426,17 +454,17 @@ def _run_video_sharded(plan, writer, report, stop_event, tick, interp,
     def drain(entry):
         nonlocal done
         idxs, results = entry
+        fetch = _ViewFetcher(timers)
         for idx, outs in zip(idxs, results):
             if idx is None:
                 continue  # tail padding
-            for pattern, (out, planar) in zip(name_patterns, outs):
+            for pattern, (out, j, planar) in zip(name_patterns, outs):
                 name = pattern.replace("%07d", f"{idx:07d}")
                 out_path = plan.out_dir / name
                 if not overwrite and out_path.exists():
                     report.skipped += 1
                 else:
-                    with timers.stage("fetch"):
-                        arr = np.asarray(jax.device_get(out))
+                    arr = fetch(out, j)
                     img = arr if arr.dtype != np.float32 else \
                         imagelib.from_float01(arr, qbits)
                     writer.submit(out_path, img, jpeg_quality=jpeg_quality,
@@ -525,14 +553,14 @@ def _run_video(plan, writer, report, stop_event, tick, backend, interp,
     def drain(entry):
         nonlocal done
         idx, outs = entry
-        for pattern, (out, planar) in zip(name_patterns, outs):
+        fetch = _ViewFetcher(timers)
+        for pattern, (out, j, planar) in zip(name_patterns, outs):
             name = pattern.replace("%07d", f"{idx:07d}")
             out_path = plan.out_dir / name
             if not overwrite and out_path.exists():
                 report.skipped += 1
             else:
-                with timers.stage("fetch"):
-                    arr = np.asarray(jax.device_get(out))
+                arr = fetch(out, j)
                 img = arr if arr.dtype != np.float32 else \
                     imagelib.from_float01(arr, 16 if plan.bit_depth > 8 else 8)
                 writer.submit(out_path, img, jpeg_quality=jpeg_quality,

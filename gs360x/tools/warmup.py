@@ -124,7 +124,7 @@ def main(argv=None) -> int:
             t0 = time.time()
             outs = _warp_frame_views(frame, views, interp=interp,
                                      backend="auto", quantize_bits=8)
-            for out, _planar in outs:
+            for out, _j, _planar in outs:
                 np.asarray(out)
             n += 1
             print(f"[OK] {preset} size={size} {interp}: "
