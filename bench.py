@@ -44,28 +44,30 @@ def timed_throughput(fn, sync, *, warm=1, reps=10):
     return per_call
 
 
-def measured_throughput(fn, sync, *, warm=1, reps=10, passes=5):
-    """Median-of-``passes`` timed_throughput, with relative spread.
+def measured_throughput(fn, sync, *, warm=1, reps=10, passes=7):
+    """Median-of-``passes`` timed_throughput, with a robust spread.
 
     Round 3 ended with a mid-round 1,017 views/s claim vs a
     driver-recorded 921 and no way to tell regression from tunnel
     variance (VERDICT r3 weak #1). A single queue-drain pass can't
-    distinguish the two; the median of five plus an outlier-trimmed
-    spread makes variance visible in the driver JSON.  (Three passes
-    proved too few: ONE tunnel stall put 107% in the max-min spread
-    while the median was stable — so the spread now drops the single
-    worst pass before taking max-min.)
+    distinguish the two; the median of several passes plus a robust
+    spread makes variance visible in the driver JSON.  Tunnel stalls
+    skew per-pass samples BOTH ways (a stall inside the drain inflates
+    the sample; a stall inside the subtracted single-call baseline
+    deflates it), so max-min spread — even outlier-trimmed — recorded
+    107% on a stable median.  The spread is therefore the
+    interquartile range over the median: stalls land in the tails and
+    the quartiles stay put.
 
-    Returns ``(per_call_median, spread)`` where spread is the
-    relative spread of the per-call times across the best
-    ``passes - 1`` passes.
+    Returns ``(per_call_median, spread)`` where spread is
+    (p75 - p25) / median of the per-call times across passes.
     """
     samples = [timed_throughput(fn, sync, warm=warm if i == 0 else 0,
                                 reps=reps)
                for i in range(passes)]
     med = float(np.median(samples))
-    core = sorted(samples)[:-1] if len(samples) > 2 else samples
-    spread = (max(core) - min(core)) / med if med > 0 else 0.0
+    p25, p75 = np.percentile(samples, [25, 75])
+    spread = float(p75 - p25) / med if med > 0 else 0.0
     return med, spread
 
 

@@ -2561,19 +2561,36 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
     with the raw x0/weights."""
     # dev triage knob (one process per setting — read at trace time):
     #   GS360X_WIDE3_STOP=dma    DMA + geometry + output write only
+    #   GS360X_WIDE3_STOP=read   + the HI chain's window READS only
+    #                            (isolates read cost vs the select chains)
     #   GS360X_WIDE3_STOP=vsel   + residual-window build (consumed cheaply)
     #   GS360X_WIDE3_STOP=trip1  + sweep body, but ONE trip instead of
     #                            dx_hi-dx_lo+n_taps (isolates per-trip cost)
     stop = _os.environ.get("GS360X_WIDE3_STOP", "full").strip() or "full"
-    if stop not in ("full", "dma", "vsel", "trip1"):
+    if stop not in ("full", "dma", "read", "vsel", "trip1"):
         # a typo'd/leftover value would silently produce truncated
         # (zeroed) wide3 output — fail loudly at trace time instead
         raise ValueError(
             f"GS360X_WIDE3_STOP={stop!r}: expected one of "
-            "'full', 'dma', 'vsel', 'trip1'")
+            "'full', 'dma', 'read', 'vsel', 'trip1'")
     if stop == "dma":
         return
     rows = slice(g * 8, (g + 1) * 8)
+    if stop == "read":
+        # HI-chain window reads only, consumed cheaply: isolates the
+        # read cost from the select chains in the vsel phase
+        ncs_r = (win_rows - resid_hi) // 8
+        nvv_r = resid_hi // 8
+        probe = None
+        for c in range(_n_planes(packed)):
+            for chunk in range(ncs_r + nvv_r):
+                data = win_raw[slot, c, chunk * 8:(chunk + 1) * 8,
+                               bi_lane0:bi_lane0 + TILE_COLS]
+                if data.dtype != jnp.float32:
+                    data = data.astype(jnp.int32).astype(jnp.float32)
+                probe = data if probe is None else probe + data
+        acc[0, rows, :] = acc[0, rows, :] + probe * 1e-30
+        return
     y0g = y0[rows]
     x0g = x0[rows]
     if valid is not None:
