@@ -7,8 +7,15 @@ everything a user's run pays for), and reports wall-clock plus the
 executor's per-stage timers where available. Prints one JSON line per
 scenario and a final summary line.
 
-Default sizes are scaled for a quick signal (~2-4 min total on one chip);
-``--full`` uses production-scale frames (8K sources, 300-frame exports).
+Default ("quick") mode uses PRODUCTION shapes (5.7K/8K sources, 1600 px
+views — the combinations `gs360x-warmup --all` pre-compiles) at small
+frame counts, so the walls measure the pipeline, not one-off Mosaic
+compiles; ``--full`` uses production frame counts too (300-frame
+exports).  In this dev environment the device->host fetch rides a
+~20-25 MB/s tunnel with ~25 ms RPCs — per-stage timers separate that
+transfer tax (and any residual compile) from chip throughput, which
+`bench.py` measures device-synced.  ``--json-out`` writes the records
+to a JSON artifact for the docs.
 
 Scenarios (BASELINE.md "measurement configs"):
   1. perspcut_default   — default preset: one 5.7K equirect -> 8x1600px
@@ -35,6 +42,30 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def run_with_stats(fn, argv):
+    """Run a CLI main() capturing its stdout; return (rc, wall_s,
+    stats) with stats parsed from the executor's ``[STATS]`` line
+    (``--stats`` flag), e.g. decode/fetch/warp_dispatch/encode/wall."""
+    import contextlib
+    import io
+    import re
+    buf = io.StringIO()
+    t0 = time.time()
+    with contextlib.redirect_stdout(buf):
+        rc = fn(argv)
+    wall = time.time() - t0
+    stats = {}
+    for line in buf.getvalue().splitlines():
+        m = re.search(r"\[STATS\]\s*(.*)", line)
+        if not m:
+            continue
+        for part in m.group(1).split("|"):
+            kv = part.strip().split()
+            if len(kv) >= 2:
+                stats[kv[0]] = kv[1]
+    return rc, wall, stats
+
+
 def lonlat_pano(w, h, shift=0.0, dtype=np.uint8):
     xs = (2.0 * np.arange(w) + 1.0) / w - 1.0
     ys = (2.0 * np.arange(h) + 1.0) / h - 1.0
@@ -57,9 +88,9 @@ def scenario_perspcut_default(root, full):
     """One 5.7K equirect frame -> default-preset perspective cuts."""
     from gs360x.tools import perspcut
 
-    src_w = 5760 if full else 2048
-    n_frames = 4 if full else 3
-    size = 1600 if full else 512
+    src_w = 5760                      # BASELINE config 1: 5.7K source
+    n_frames = 4 if full else 2
+    size = 1600
     panos = root / "panos"
     panos.mkdir()
     from gs360x.io import image as im
@@ -67,24 +98,23 @@ def scenario_perspcut_default(root, full):
         im.write_image(panos / f"city_{i:04d}.jpg",
                        lonlat_pano(src_w, src_w // 2, shift=i * 0.3))
     out = root / "cuts"
-    t0 = time.time()
-    rc = perspcut.main(["-i", str(panos), "-o", str(out),
+    rc, wall, _ = run_with_stats(
+        perspcut.main, ["-i", str(panos), "-o", str(out),
                         "--size", str(size), "--stats"])
-    wall = time.time() - t0
     n_out = len(list(out.glob("*.jpg")))
     assert rc == 0 and n_out == n_frames * 8, (rc, n_out)
-    # warm pass: the first run pays the Mosaic compile for this shape
-    # (minutes through the remote compiler); production runs amortize it
+    # warm pass: the first run pays any residual Mosaic compile plus
+    # one-time imports; production runs amortize both
     out2 = root / "cuts_warm"
-    t0 = time.time()
-    rc = perspcut.main(["-i", str(panos), "-o", str(out2),
-                        "--size", str(size)])
-    warm = time.time() - t0
+    rc, warm, stats = run_with_stats(
+        perspcut.main, ["-i", str(panos), "-o", str(out2),
+                        "--size", str(size), "--stats"])
     assert rc == 0
     return {"scenario": "perspcut_default", "wall_s": round(wall, 2),
             "views": n_out, "views_per_s": round(n_out / wall, 2),
             "warm_wall_s": round(warm, 2),
-            "warm_views_per_s": round(n_out / warm, 2)}
+            "warm_views_per_s": round(n_out / warm, 2),
+            "warm_stats": stats}
 
 
 def scenario_extract_select(root, full):
@@ -119,21 +149,21 @@ def scenario_video_export(root, full):
     from gs360x.io import video as vio
     from gs360x.tools import perspcut
 
-    w, h = (7680, 3840) if full else (2048, 1024)
-    n_frames = 300 if full else 20
-    size = 1080 if full else 384
+    w, h = 7680, 3840                 # BASELINE config 3: 8K video
+    n_frames = 300 if full else 6
+    size = 1600
     clip = root / "pano.y4m"
     vio.write_y4m(clip, pano_sequence(w, h, n_frames, step=0.1), fps=10.0)
     out = root / "vcuts"
-    t0 = time.time()
-    rc = perspcut.main(["-i", str(clip), "-o", str(out), "-f", "10",
+    rc, wall, stats = run_with_stats(
+        perspcut.main, ["-i", str(clip), "-o", str(out), "-f", "10",
                         "--preset", "full360coverage", "--size", str(size),
                         "--stats"])
-    wall = time.time() - t0
     n_out = len(list(out.glob("*.jpg")))
     assert rc == 0 and n_out > 0, (rc, n_out)
     return {"scenario": "video_export", "wall_s": round(wall, 2),
-            "views": n_out, "views_per_s": round(n_out / wall, 2)}
+            "views": n_out, "views_per_s": round(n_out / wall, 2),
+            "stats": stats}
 
 
 def scenario_dualfisheye(root, full):
@@ -141,8 +171,8 @@ def scenario_dualfisheye(root, full):
     from gs360x.io import image as im
     from gs360x.tools import dualfisheye
 
-    size = 3840 if full else 768
-    n_pairs = 3 if full else 2
+    size = 3840                       # production Osmo 360 lens frames
+    n_pairs = 3 if full else 1
     d = root / "lenses"
     d.mkdir()
     for i in range(n_pairs):
@@ -171,8 +201,8 @@ def scenario_full_chain(root, full):
     from gs360x.io import image as im
     from gs360x.tools import ms360xml, plyopt
 
-    src_w = 5760 if full else 2048
-    n_cams = 6 if full else 3
+    src_w = 5760
+    n_cams = 6 if full else 2
     panos = root / "chain_panos"
     panos.mkdir()
     lines = ["# cameras"]
@@ -242,6 +272,8 @@ def main():
     ap.add_argument("--full", action="store_true",
                     help="Production-scale sizes (8K sources, 300 frames).")
     ap.add_argument("--only", choices=sorted(SCENARIOS), default=None)
+    ap.add_argument("--json-out", default=None,
+                    help="Also write the scenario records to this file.")
     args = ap.parse_args()
 
     results = []
@@ -260,8 +292,14 @@ def main():
         finally:
             shutil.rmtree(root, ignore_errors=True)
     total = round(sum(r.get("wall_s", 0.0) for r in results), 2)
-    print(json.dumps({"scenario": "TOTAL", "wall_s": total,
-                      "n_ok": len(results), "n_run": len(names)}))
+    summary = {"scenario": "TOTAL", "wall_s": total,
+               "n_ok": len(results), "n_run": len(names)}
+    print(json.dumps(summary))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({"mode": "full" if args.full else "quick",
+                       "scenarios": results, "total": summary}, f,
+                      indent=1)
     return 0 if len(results) == len(names) else 1
 
 

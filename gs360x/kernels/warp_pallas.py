@@ -2429,6 +2429,37 @@ def _wide3_tables_device(key, tabs: List[np.ndarray],
     return val
 
 
+def _radix_masks(sel, n: int):
+    """Per-bit masks for :func:`_radix_select` over ``n`` candidates.
+    ``sel`` is an i32 vreg in [0, n)."""
+    nbits = max(1, (n - 1).bit_length())
+    return [jnp.bitwise_and(sel, 1 << b) != 0 for b in range(nbits)]
+
+
+def _radix_select(cands, masks):
+    """``cands[sel]`` per lane as a binary select tree.
+
+    The linear ``where`` chains this replaces were LATENCY-bound on
+    chip (~30 cycles/select measured via the STOP=read/vsel probes —
+    each select depends on the previous), so depth matters more than
+    op count: a chain of length n-1 becomes a tree of the same n-1
+    selects at depth ceil(log2 n).  Odd tails pair an element with
+    itself and are skipped (no op emitted), so the count never
+    exceeds the chain's.  ``masks`` from :func:`_radix_masks` (bit b
+    of the selector), shared across channels/vv towers."""
+    cur = list(cands)
+    for m in masks:
+        if len(cur) == 1:
+            break
+        nxt = []
+        for i in range(0, len(cur), 2):
+            lo = cur[i]
+            hi = cur[i + 1] if i + 1 < len(cur) else lo
+            nxt.append(lo if hi is lo else jnp.where(m, hi, lo))
+        cur = nxt
+    return cur[0]
+
+
 def _build_vsel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
                 resid_rows: int, nch: int = 3):
     """De-sheared residual window for one block: a [ch][vv] list of
@@ -2440,7 +2471,7 @@ def _build_vsel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
     ``nch`` is 2 for packed-RG windows — the chain count scales with it."""
     ncs = (win_rows - resid_rows) // 8
     nvv = resid_rows // 8
-    masks = [csb == cval for cval in range(1, ncs + 1)]
+    masks = _radix_masks(csb, ncs + 1)
     vsel = []
     for c in range(nch):
         # hoist chunk reads: (vv, cval) pairs share chunk = vv + cval,
@@ -2453,13 +2484,8 @@ def _build_vsel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
             if data.dtype != jnp.float32:
                 data = data.astype(jnp.int32).astype(jnp.float32)
             reads.append(data)
-        per_vv = []
-        for vv in range(nvv):
-            tgt = reads[vv]
-            for cval in range(1, ncs + 1):
-                tgt = jnp.where(masks[cval - 1], reads[vv + cval], tgt)
-            per_vv.append(tgt)
-        vsel.append(per_vv)
+        vsel.append([_radix_select(reads[vv:vv + ncs + 1], masks)
+                     for vv in range(nvv)])
     return vsel
 
 
@@ -2477,7 +2503,7 @@ def _build_vsel_rel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
     top = win_rows // 8 - 1
     cs_min = jnp.min(csb)
     rel = csb - cs_min
-    masks = [rel == cval for cval in range(1, spread + 1)]
+    masks = _radix_masks(rel, spread + 1)
 
     def read(c, chunk):
         data = win_raw[slot, c,
@@ -2494,13 +2520,8 @@ def _build_vsel_rel(win_raw, slot, bi_lane0, csb, *, win_rows: int,
         # reads serve every chain slot
         reads = [read(c, jnp.minimum(cs_min + i, top))
                  for i in range(spread + nvv)]
-        per_vv = []
-        for vv in range(nvv):
-            tgt = reads[vv]
-            for cval in range(1, spread + 1):
-                tgt = jnp.where(masks[cval - 1], reads[vv + cval], tgt)
-            per_vv.append(tgt)
-        vsel.append(per_vv)
+        vsel.append([_radix_select(reads[vv:vv + spread + 1], masks)
+                     for vv in range(nvv)])
     return vsel
 
 
@@ -2622,6 +2643,11 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
         dxr = dx - dx_lo                  # in [0, local span]
         hwg = [h[rows] for h in hw]
         vwg = [v[rows] for v in vw]
+        # trip-invariant vertical tap rows relative to the block's
+        # window origin (the per-trip part is only the de-shear chunk
+        # offset 8*csk of the trip's column)
+        ya = [jnp.clip(y0g + (koff + m), 0, src_h - 1) - rm_b
+              for m in range(n_taps)]
 
         def body(k2, carry):
             xi = jb + dx_lo + (k2 + koff)     # row-invariant column
@@ -2629,16 +2655,17 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
             inb = (j >= 0) & (j < TILE_COLS)
             jc = jnp.clip(j, 0, TILE_COLS - 1)
             csk = jnp.take_along_axis(csb, jc, axis=1)
-            off = rm_b + 8 * csk          # residual-window origin (abs)
             wsel = jnp.zeros((8, TILE_COLS), jnp.float32)
             for kk in range(n_taps):
                 wsel = jnp.where(dxr == (k2 - kk), hwg[kk], wsel)
             whk = jnp.where(inb, wsel, 0.0)
-            rms, qs = [], []
-            for m in range(n_taps):
-                r_m = jnp.clip(y0g + koff + m, 0, src_h - 1) - off
-                rms.append(r_m)
-                qs.append(jnp.clip(r_m, 0, resid_rows - 1) // 8)
+            # the n_taps tap rows are CONSECUTIVE, so they straddle at
+            # most two adjacent 8-row tower chunks: select that pair
+            # once (radix over nvv) and run the per-tap sublane
+            # gathers against the pair — 2 gathers + 1 select per tap
+            # instead of nvv gathers + nvv-1 selects
+            rms = [yam - 8 * csk for yam in ya]
+            qs = [jnp.clip(r_m, 0, resid_rows - 1) // 8 for r_m in rms]
             for c in range(_n_planes(packed)):
                 gs = [jnp.take_along_axis(vsel[c][vv], jc, axis=1)
                       for vv in range(nvv)]

@@ -26,8 +26,10 @@ def src():
 
 
 class TestRemapPallas:
-    @pytest.mark.parametrize("interp", ["bilinear", "bicubic",
-                                        "catmull-rom"])
+    @pytest.mark.parametrize("interp", [
+        "bilinear",
+        pytest.param("bicubic", marks=pytest.mark.slow),
+        pytest.param("catmull-rom", marks=pytest.mark.slow)])
     def test_matches_xla_remap(self, src, interp):
         map_x, map_y = barrel_maps(64, 128, 256, 384)
         out = rp.remap_pallas(src, map_x, map_y, None, interp=interp,

@@ -49,7 +49,8 @@ def _smooth_maps(kind: str, out=OUT):
     return mx.astype(np.float32), my.astype(np.float32), valid
 
 
-@pytest.mark.parametrize("interp", ["bicubic", "bilinear"])
+@pytest.mark.parametrize("interp", [
+    pytest.param("bicubic", marks=pytest.mark.slow), "bilinear"])
 def test_batch_matches_xla_twin(src, interp):
     maps = [_smooth_maps(k) for k in ("affine", "radial", "shear")]
     batch = rp.PreparedRemapBatch(maps, src_w=SRC, src_h=SRC,

@@ -86,7 +86,7 @@ CASES = [
 # interpret-mode wide3 traces of the tilt/deep-shear/fisheye cases cost
 # ~20-35 s each on CPU — slow tier; the yaw/seam/roll pallas cases and
 # every XLA case stay in the default run
-_PALLAS_SLOW = {(45.0, 30.0), (20.0, 60.0), (0.0, 0.0)}
+_PALLAS_SLOW = {(45.0, 30.0), (20.0, 60.0), (0.0, 0.0), (10.0, 15.0)}
 PALLAS_CASES = [
     pytest.param(*c, marks=pytest.mark.slow)
     if (c[2], c[3]) in _PALLAS_SLOW else c for c in CASES

@@ -31,7 +31,8 @@ def xla_ref(yaws, pitches, rolls, interp):
 
 
 class TestPallasCorrectness:
-    @pytest.mark.parametrize("interp", ["bicubic", "bilinear"])
+    @pytest.mark.parametrize("interp", [
+        pytest.param("bicubic", marks=pytest.mark.slow), "bilinear"])
     def test_matches_xla_backend(self, interp):
         yaws = np.array([0.0, 45.0, 180.0])
         pitches = np.array([0.0, 10.0, -20.0])
@@ -116,6 +117,7 @@ class TestTiltWindowClass:
     152-row budget) serves them without the wide kernel's dynamic
     block loop."""
 
+    @pytest.mark.slow
     def test_pitch30_routes_tilt_and_matches_xla(self):
         src = lonlat_pano(1024, 512)
         b = warp_pallas.plan_view(256, 128, 112.6, 73.7, 45.0, -30.0,
@@ -148,8 +150,14 @@ class TestWideWindowKernel:
     # magnifies into ~1e-4 of pixel value at steep-gradient texels
     POLE_ATOL = 1e-4
 
-    @pytest.mark.parametrize("pitch", [90.0, -90.0, 75.0, -75.0])
-    @pytest.mark.parametrize("interp", ["bicubic", "bilinear"])
+    # pitch 90 plans the tallest windows — its bicubic interpret run
+    # alone cost ~40s, so it rides the slow tier (bilinear keeps the
+    # exact-pole geometry in the default tier)
+    @pytest.mark.parametrize("pitch,interp", [
+        pytest.param(90.0, "bicubic", marks=pytest.mark.slow),
+        (90.0, "bilinear"), (-90.0, "bicubic"), (-90.0, "bilinear"),
+        (75.0, "bicubic"), (75.0, "bilinear"),
+        (-75.0, "bicubic"), (-75.0, "bilinear")])
     def test_pole_and_near_pole_views(self, pitch, interp):
         ref = xla_ref([0.0], [pitch], [0.0], interp)
         out = warp_pallas.warp_equirect_to_views_pallas(
@@ -177,6 +185,7 @@ class TestWideWindowKernel:
             interp="bicubic", interpret=True, **kw)
         np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)
 
+    @pytest.mark.slow
     def test_mixed_narrow_and_wide_view_order(self):
         # equator + pole in one call: partitioned across both kernels,
         # output order must match the request order
@@ -228,9 +237,9 @@ class TestFisheyeOutputs:
 
     # equisolid runs bilinear to keep interpret-mode runtime sane; the
     # projection math under test is identical across interps
-    @pytest.mark.parametrize("projection,interp",
-                             [("fisheye_v360", "bicubic"),
-                              ("equisolid", "bilinear")])
+    @pytest.mark.parametrize("projection,interp", [
+        pytest.param("fisheye_v360", "bicubic", marks=pytest.mark.slow),
+        ("equisolid", "bilinear")])
     def test_matches_xla(self, projection, interp):
         ref = np.asarray(warp.warp_equirect_to_views(
             SRC, np.array([30.0], np.float32), np.array([0.0], np.float32),
@@ -242,6 +251,7 @@ class TestFisheyeOutputs:
             **self.FKW)
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
 
+    @pytest.mark.slow
     def test_fisheye_pair_front_back(self):
         # the fisheyeXY preset shape: front + back 180-deg hemispheres
         yaws = np.array([0.0, 180.0])
@@ -341,6 +351,7 @@ class TestWide3Kernel:
         out = self._direct(interp)
         np.testing.assert_allclose(out, ref, atol=1e-4)
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("route", ["wide3_chunk", "wide2"])
     def test_grazing_pole_both_routes_match_xla(self, route, monkeypatch):
         # pole-grazing shear: half the groups exceed the wide3 span cap
@@ -372,6 +383,7 @@ class TestWide3Kernel:
             256, 256, 105.0, 105.0, 0.0, 90.0, 0.0, 2048, 1024, 256,
             256, "perspective", "bicubic") is None
 
+    @pytest.mark.slow
     def test_wide_fov_tilted_view_chunk_route_matches_xla(self):
         # evenPlus30-shaped geometry (extra-wide fov, pitch 30, view
         # reaching near-pole latitudes): the old all-or-nothing shear
@@ -480,6 +492,7 @@ class TestWide3Kernel:
             vfov_deg=self.VF))
         np.testing.assert_allclose(out, ref, atol=1e-4)
 
+    @pytest.mark.slow
     def test_mixed_branch_deep_shear_matches_xla(self):
         # pitch-60 110-deg geometry: rlo=24 / rhi=40 with ~half the
         # groups on each branch and shear spans near the class cap —
@@ -524,6 +537,7 @@ class TestWide3Kernel:
             width=W, height=H, hfov_deg=HF, vfov_deg=VF))
         np.testing.assert_allclose(out, ref, atol=1e-4)
 
+    @pytest.mark.slow
     def test_mixed_view_force_replan_matches_xla(self):
         # two wide views whose per-view plans disagree on win_rows,
         # resid_hi AND spread_lo (pitch -35: 96/32/32/4; pitch -60:
@@ -587,6 +601,7 @@ class TestWide3Kernel:
         flags = p[6][:, 3:3 + ng]
         assert (flags == warp_pallas.WIDE3_FLAG_CHUNK).any()
 
+    @pytest.mark.slow
     def test_fisheye_wide3_overflow_blocks_match_xla(self, monkeypatch):
         # overflow rounds past the cs cap (traced block index → clamped
         # cs read, chunk-only service) against the XLA twin; the cap is
@@ -663,8 +678,12 @@ class TestWide3Kernel:
         np.testing.assert_array_equal(planes[0, :256, w:w + 8],
                                       exp[:, :8])
 
-    @pytest.mark.parametrize("scenario", ["tilt", "fisheye"])
-    @pytest.mark.parametrize("mode", ["2", "3"])
+    # mode "2" (non-default) parity rides the slow tier; the default
+    # "3" pack keeps both scenarios in the default tier
+    @pytest.mark.parametrize("scenario,mode", [
+        pytest.param("tilt", "2", marks=pytest.mark.slow),
+        pytest.param("fisheye", "2", marks=pytest.mark.slow),
+        ("tilt", "3"), ("fisheye", "3")])
     def test_packed_matches_unpacked(self, scenario, mode, monkeypatch):
         # GS360X_WIDE3_PACK (u8 sources): fewer gather chains and less
         # window DMA via packed planes (256*R+G / B for "2"; the single

@@ -55,19 +55,37 @@ sys.path.insert(0, REPO)
 SRC_H, SRC_W = 512, 1024
 OUT = 256
 
-# (name, projection, out_size, hfov, vfov, yaw, pitch, roll, pole_taps)
-# pole_taps marks cases whose 4x4 tap rows cross a pole row — there the
-# repo's clamp and v360's reflection legitimately differ.
+# (name, projection, out_size, hfov, vfov, yaw, pitch, roll)
+# Whether a case's 4x4 tap rows cross a pole row — where the repo's
+# clamp and v360's reflection legitimately differ — is computed per
+# PIXEL from the oracle's own mapping (see pole_pixel_mask), not
+# hand-flagged: deep_shear (pitch 60, vfov 110) reaches latitude 115
+# and was mislabeled pole-free in the first cut of this tool.
 CASES = [
-    ("yaw_ring", "perspective", OUT, 104.25, 104.25, 37.0, 0.0, 0.0, False),
-    ("seam_cross", "perspective", OUT, 104.25, 104.25, 180.0, 0.0, 0.0, False),
-    ("tilt_p30", "perspective", OUT, 104.25, 104.25, 45.0, 30.0, 0.0, False),
-    ("tilt_m30", "perspective", OUT, 104.25, 104.25, -135.0, -30.0, 0.0, False),
-    ("deep_shear", "perspective", OUT, 110.0, 110.0, 20.0, 60.0, 0.0, False),
-    ("pole_graze", "perspective", OUT, 112.6, 112.6, 0.0, 62.0, 0.0, True),
-    ("roll_20", "perspective", OUT, 104.25, 104.25, 10.0, 15.0, 20.0, False),
-    ("fisheye_d190", "fisheye_v360", OUT, 190.0, 190.0, 0.0, 0.0, 0.0, True),
+    ("yaw_ring", "perspective", OUT, 104.25, 104.25, 37.0, 0.0, 0.0),
+    ("seam_cross", "perspective", OUT, 104.25, 104.25, 180.0, 0.0, 0.0),
+    ("tilt_p30", "perspective", OUT, 104.25, 104.25, 45.0, 30.0, 0.0),
+    ("tilt_m30", "perspective", OUT, 104.25, 104.25, -135.0, -30.0, 0.0),
+    ("deep_shear", "perspective", OUT, 110.0, 110.0, 20.0, 60.0, 0.0),
+    ("pole_graze", "perspective", OUT, 112.6, 112.6, 0.0, 62.0, 0.0),
+    ("roll_20", "perspective", OUT, 104.25, 104.25, 10.0, 15.0, 20.0),
+    ("fisheye_d190", "fisheye_v360", OUT, 190.0, 190.0, 0.0, 0.0, 0.0),
 ]
+
+
+def pole_pixel_mask(vo, case, src_h: int, src_w: int) -> np.ndarray:
+    """Bool (size, size) mask of output pixels whose bicubic tap rows
+    cross a pole row (tap row < 0 or > H-1) — computed with the
+    oracle's own ray/rotation/mapping functions."""
+    name, proj, size, hf, vf_deg, yaw, pitch, roll = case
+    if proj == "perspective":
+        rays = vo.flat_rays(size, size, hf, vf_deg)
+    else:
+        rays, _ = vo.fisheye_rays(size, size, hf)
+    rot = vo.rotation_ypr(yaw, pitch, roll)
+    _, vf = vo.xyz_to_equirect(rays @ rot.T, src_w, src_h)
+    vi = np.floor(vf).astype(np.int64)
+    return (vi - 1 < 0) | (vi + 2 > src_h - 1)
 
 
 def make_panorama(h: int = SRC_H, w: int = SRC_W) -> np.ndarray:
@@ -96,10 +114,11 @@ def run_variant(variant: str, quick: bool) -> dict:
     src = make_panorama()
     stats = {}
     for case in CASES[: 4 if quick else len(CASES)]:
-        name, proj, size, hf, vf, yaw, pitch, roll, pole = case
+        name, proj, size, hf, vf, yaw, pitch, roll = case
         oracle_u8, valid = vo.warp_equirect_oracle(
             src, yaw, pitch, roll, width=size, height=size,
             hfov_deg=hf, vfov_deg=vf, projection=proj, interp="bicubic")
+        pole_px = pole_pixel_mask(vo, case, src.shape[0], src.shape[1])
         if variant == "xla":
             out = warp_xla.warp_equirect_to_views(
                 jnp.asarray(src.astype(np.float32) / 255.0),
@@ -118,13 +137,17 @@ def run_variant(variant: str, quick: bool) -> dict:
         got_u8 = np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
         diff = np.abs(got_u8.astype(np.int32) - oracle_u8.astype(np.int32))
         dv = diff[valid]                                  # (n_valid, 3)
+        dnp = diff[valid & ~pole_px]                      # non-pole pixels
         n = dv.size
         stats[name] = {
             "max_lsb": int(dv.max()) if n else 0,
             "mean_lsb": round(float(dv.mean()), 4) if n else 0.0,
             "p999_lsb": int(np.percentile(dv, 99.9)) if n else 0,
             "pct_gt1": round(100.0 * float((dv > 1).sum()) / max(n, 1), 4),
-            "pole_taps": pole,
+            "max_nonpole_lsb": int(dnp.max()) if dnp.size else 0,
+            "pole_px_pct": round(
+                100.0 * float((valid & pole_px).sum())
+                / max(int(valid.sum()), 1), 2),
         }
     return stats
 
@@ -185,14 +208,15 @@ def main() -> int:
     case_names = list(next(iter(results.values())).keys())
     for variant in results:
         lines += [f"## {variant}", "",
-                  "| case | max LSB | mean LSB | p99.9 | pct>1 | pole taps |",
-                  "|---|---|---|---|---|---|"]
+                  "| case | max LSB | max non-pole | mean LSB | p99.9 "
+                  "| pct>1 | pole px |",
+                  "|---|---|---|---|---|---|---|"]
         for name in case_names:
             s = results[variant][name]
             lines.append(
-                f"| {name} | {s['max_lsb']} | {s['mean_lsb']} | "
-                f"{s['p999_lsb']} | {s['pct_gt1']}% | "
-                f"{'yes' if s['pole_taps'] else 'no'} |")
+                f"| {name} | {s['max_lsb']} | {s['max_nonpole_lsb']} | "
+                f"{s['mean_lsb']} | {s['p999_lsb']} | {s['pct_gt1']}% | "
+                f"{s['pole_px_pct']}% |")
         lines.append("")
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
