@@ -166,10 +166,31 @@ def _wrap_x(xi: jnp.ndarray, width: int, wrap: bool) -> jnp.ndarray:
     return jnp.clip(xi, 0, width - 1)
 
 
+def _reflect_y(yi: jnp.ndarray, h: int):
+    """v360 ``reflecty`` tap-row boundary: a row past a pole reflects
+    (``-1-y`` top / ``2h-1-y`` bottom) and the sample continues over the
+    pole onto the opposite meridian — the caller shifts the column by
+    ``w/2`` wherever ``over`` is set.  Matches
+    :func:`gs360x.kernels.v360_oracle.reflect_taps`; the reference's
+    warps inherit these semantics from ffmpeg's v360 filter
+    (``/root/reference/cli_tools/gs360_360PerspCut.py:310-314``).
+    Returns ``(y_reflected, over)``."""
+    over_top = yi < 0
+    over_bot = yi >= h
+    y_ref = jnp.where(over_top, -1 - yi,
+                      jnp.where(over_bot, 2 * h - 1 - yi, yi))
+    return jnp.clip(y_ref, 0, h - 1), over_top | over_bot
+
+
 def sample_bilinear(src: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, *,
-                    wrap_x: bool = False) -> jnp.ndarray:
+                    wrap_x: bool = False,
+                    pole_reflect: bool = False) -> jnp.ndarray:
     """Bilinear sample of src (H, W, C) at continuous coords (u right, v
-    down; pixel centers at integers). Returns (*u.shape, C)."""
+    down; pixel centers at integers). Returns (*u.shape, C).
+
+    ``pole_reflect`` (equirect sources): tap rows past the top/bottom
+    edge reflect over the pole with a half-width column shift (v360
+    semantics) instead of clamping."""
     h, w = src.shape[0], src.shape[1]
     src_flat = src.reshape(h * w, -1)
     x0 = jnp.floor(u)
@@ -177,31 +198,55 @@ def sample_bilinear(src: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, *,
     fx = (u - x0)[..., None]
     fy = (v - y0)[..., None]
     x0i = x0.astype(jnp.int32)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    xa = _wrap_x(x0i, w, wrap_x)
-    xb = _wrap_x(x0i + 1, w, wrap_x)
-    p00 = _flat_gather(src_flat, y0i, xa, w)
-    p01 = _flat_gather(src_flat, y0i, xb, w)
-    p10 = _flat_gather(src_flat, y1i, xa, w)
-    p11 = _flat_gather(src_flat, y1i, xb, w)
+    y0r = y0.astype(jnp.int32)
+    if pole_reflect:
+        y0i, ov0 = _reflect_y(y0r, h)
+        y1i, ov1 = _reflect_y(y0r + 1, h)
+        sh0 = jnp.where(ov0, w // 2, 0)
+        sh1 = jnp.where(ov1, w // 2, 0)
+        p00 = _flat_gather(src_flat, y0i, _wrap_x(x0i + sh0, w, True), w)
+        p01 = _flat_gather(src_flat, y0i,
+                           _wrap_x(x0i + 1 + sh0, w, True), w)
+        p10 = _flat_gather(src_flat, y1i, _wrap_x(x0i + sh1, w, True), w)
+        p11 = _flat_gather(src_flat, y1i,
+                           _wrap_x(x0i + 1 + sh1, w, True), w)
+    else:
+        y0i = jnp.clip(y0r, 0, h - 1)
+        y1i = jnp.clip(y0i + 1, 0, h - 1)
+        xa = _wrap_x(x0i, w, wrap_x)
+        xb = _wrap_x(x0i + 1, w, wrap_x)
+        p00 = _flat_gather(src_flat, y0i, xa, w)
+        p01 = _flat_gather(src_flat, y0i, xb, w)
+        p10 = _flat_gather(src_flat, y1i, xa, w)
+        p11 = _flat_gather(src_flat, y1i, xb, w)
     top = p00 * (1 - fx) + p01 * fx
     bot = p10 * (1 - fx) + p11 * fx
     return top * (1 - fy) + bot * fy
 
 
 def sample_nearest(src: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, *,
-                   wrap_x: bool = False) -> jnp.ndarray:
+                   wrap_x: bool = False,
+                   pole_reflect: bool = False) -> jnp.ndarray:
     h, w = src.shape[0], src.shape[1]
     src_flat = src.reshape(h * w, -1)
-    xi = _wrap_x(jnp.round(u).astype(jnp.int32), w, wrap_x)
-    yi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
+    xr = jnp.round(u).astype(jnp.int32)
+    yr = jnp.round(v).astype(jnp.int32)
+    if pole_reflect:
+        yi, over = _reflect_y(yr, h)
+        xi = _wrap_x(xr + jnp.where(over, w // 2, 0), w, True)
+    else:
+        xi = _wrap_x(xr, w, wrap_x)
+        yi = jnp.clip(yr, 0, h - 1)
     return _flat_gather(src_flat, yi, xi, w)
 
 
 def sample_bicubic(src: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, *,
-                   wrap_x: bool = False, kernel: str = "bicubic") -> jnp.ndarray:
-    """16-tap separable cubic sample (v360 interp=cubic by default)."""
+                   wrap_x: bool = False, kernel: str = "bicubic",
+                   pole_reflect: bool = False) -> jnp.ndarray:
+    """16-tap separable cubic sample (v360 interp=cubic by default).
+
+    ``pole_reflect``: v360 tap-row boundary semantics (reflect over the
+    pole + half-width column shift) instead of row clamping."""
     h, w = src.shape[0], src.shape[1]
     src_flat = src.reshape(h * w, -1)
     x0 = jnp.floor(u)
@@ -214,10 +259,19 @@ def sample_bicubic(src: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, *,
     wys = _CUBIC_KERNELS[kernel](fy)
     out = None
     for dy in range(4):
-        yi = jnp.clip(y0i + (dy - 1), 0, h - 1)
+        if pole_reflect:
+            yi, over = _reflect_y(y0i + (dy - 1), h)
+            shift = jnp.where(over, w // 2, 0)
+        else:
+            yi = jnp.clip(y0i + (dy - 1), 0, h - 1)
+            shift = None
         row_acc = None
         for dx in range(4):
-            xi = _wrap_x(x0i + (dx - 1), w, wrap_x)
+            xt = x0i + (dx - 1)
+            if shift is not None:
+                xi = _wrap_x(xt + shift, w, True)
+            else:
+                xi = _wrap_x(xt, w, wrap_x)
             tap = _flat_gather(src_flat, yi, xi, w) * wxs[dx][..., None]
             row_acc = tap if row_acc is None else row_acc + tap
         term = row_acc * wys[dy][..., None]
@@ -235,12 +289,16 @@ _SAMPLERS = {
 
 def remap(src: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, *,
           interp: str = "bilinear", wrap_x: bool = False,
+          pole_reflect: bool = False,
           valid: Optional[jnp.ndarray] = None,
           fill: float = 0.0) -> jnp.ndarray:
     """General remap (the TPU replacement for ``cv2.remap``): sample src at
-    (u, v) with the chosen kernel, filling invalid coords with ``fill``."""
+    (u, v) with the chosen kernel, filling invalid coords with ``fill``.
+    ``pole_reflect`` selects v360's equirect tap boundary (reflect over
+    the pole + half-width shift) — only meaningful for equirect
+    sources."""
     sampler = _SAMPLERS[interp]
-    out = sampler(src, u, v, wrap_x=wrap_x)
+    out = sampler(src, u, v, wrap_x=wrap_x, pole_reflect=pole_reflect)
     if valid is not None:
         out = jnp.where(valid[..., None], out, jnp.asarray(fill, out.dtype))
     return out
@@ -291,7 +349,8 @@ def _warp_equirect_to_views_xla(src, yaws, pitches, rolls, *,
         u, v, valid = view_uv_from_equirect(
             width, height, hfov_deg, vfov_deg, projection,
             yaw, pitch, roll, src_w, src_h, dtype=jnp.float32)
-        return remap(src, u, v, interp=interp, wrap_x=True, valid=valid)
+        return remap(src, u, v, interp=interp, wrap_x=True,
+                     pole_reflect=True, valid=valid)
 
     return jax.vmap(one_view)(yaws, pitches, rolls)
 
@@ -392,4 +451,5 @@ def warp_equirect_dense_reference(src, view: ViewSpec, interp: str = "bilinear")
         view.width, view.height, view.hfov_deg, view.vfov_deg,
         view.projection, view.yaw_deg, view.pitch_deg, view.roll_deg,
         src.shape[1], src.shape[0])
-    return remap(src, u, v, interp=interp, wrap_x=True, valid=valid)
+    return remap(src, u, v, interp=interp, wrap_x=True,
+                 pole_reflect=True, valid=valid)

@@ -620,7 +620,12 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
                  sems,                 # DMA semaphores (2,)
                  *, interp: str, win_rows: int, src_w: int, src_h: int,
                  geo_w: int, geo_h: int, n_tiles_x: int,
-                 tiles_per_view: int, win_cols: int = WIN_COLS):
+                 tiles_per_view: int, win_cols: int = WIN_COLS,
+                 v_pad: int = 0):
+    # v_pad > 0: src_hbm carries v_pad reflected pole rows above/below
+    # (see _planar_source) — src_h is the PADDED height (all clamps),
+    # the latitude->row scale uses the true panorama height, and v
+    # shifts down by the pad
     R = win_rows
     tile = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -661,7 +666,8 @@ def _warp_kernel(view_f32_ref,         # (V, 16) f32 SMEM: rot(9), tanh, tanv
         phi = _atan2(wx, wz)
         theta = _asin(jnp.clip(wy, -1.0, 1.0))
         u = (phi / math.pi + 1.0) * (src_w / 2.0) - 0.5
-        v = (theta / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
+        v = (theta / (math.pi / 2.0) + 1.0) \
+            * ((src_h - 2 * v_pad) / 2.0) - 0.5 + v_pad
 
         # seam-safe window origin: unwrap u around the tile-center pixel
         u_ctr = u[TILE_ROWS // 2, TILE_COLS // 2]
@@ -736,7 +742,8 @@ def _warp_kernel_yaw(view_f32_ref,     # (V, 16) f32 SMEM: rot(9), tanh, tanv
                      sems,             # DMA semaphores (2,)
                      *, interp: str, win_rows: int, src_w: int,
                      src_h: int, geo_w: int, geo_h: int, n_tiles_x: int,
-                     tiles_per_view: int, tile_rows: int = TILE_ROWS):
+                     tiles_per_view: int, tile_rows: int = TILE_ROWS,
+                     v_pad: int = 0):
     """Yaw-ring warp kernel: pitch=0, roll=0 views (the default preset's
     camera ring, and the dominant production geometry). ``u`` is
     row-independent — ``atan2(cy·nx + sy, cy − sy·nx)`` drops out of the
@@ -775,7 +782,8 @@ def _warp_kernel_yaw(view_f32_ref,     # (V, 16) f32 SMEM: rot(9), tanh, tanv
         ny = ((2.0 * py + 1.0) / geo_h - 1.0) * tanv
         inv_n = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
         theta = _asin(jnp.clip(ny * inv_n, -1.0, 1.0))
-        v = (theta / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
+        v = (theta / (math.pi / 2.0) + 1.0) \
+            * ((src_h - 2 * v_pad) / 2.0) - 0.5 + v_pad
 
         u_ctr = u[0, TILE_COLS // 2]
         urel0 = jnp.mod(u - u_ctr + 0.5 * src_w, float(src_w)) - 0.5 * src_w
@@ -868,10 +876,10 @@ YAW_WIN_CLASSES = (WIN_COLS, 512, 640)
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "true_w", "true_h", "src_w",
-                     "src_h", "interp", "win_rows", "n_views", "interpret"))
+                     "src_h", "v_pad", "interp", "win_rows", "n_views", "interpret"))
 def _warp_call_yaw(src_rows, view_f32, *, width, height, true_w, true_h,
                    src_w, src_h, interp, win_rows, n_views,
-                   interpret=False):
+                   interpret=False, v_pad=0):
     tile_rows = YAW_TILE_ROWS
     n_tiles_x = width // TILE_COLS
     tiles_per_view = (height // tile_rows) * n_tiles_x
@@ -880,7 +888,7 @@ def _warp_call_yaw(src_rows, view_f32, *, width, height, true_w, true_h,
     kernel = functools.partial(
         _warp_kernel_yaw, interp=interp, win_rows=win_rows, src_w=src_w,
         src_h=src_h, geo_w=true_w, geo_h=true_h, n_tiles_x=n_tiles_x,
-        tiles_per_view=tiles_per_view, tile_rows=tile_rows)
+        tiles_per_view=tiles_per_view, tile_rows=tile_rows, v_pad=v_pad)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_views, 3, height, width),
@@ -920,7 +928,7 @@ def _yaw_host_tables(yaws: tuple, hfov_deg: float, vfov_deg: float, *,
                      out_w: int, out_h: int, true_w: int, true_h: int,
                      src_w: int, src_h: int, win_rows: int, tile_rows: int,
                      interp: str, win_cols: int = WIN_COLS,
-                     weight_scale: float = 1.0):
+                     weight_scale: float = 1.0, v_pad: int = 0):
     """Float64 host twin of the yaw-ring geometry.
 
     Returns ``(wx, rmcm)``: per-(view, tile-col) one-hot horizontal
@@ -949,9 +957,14 @@ def _yaw_host_tables(yaws: tuple, hfov_deg: float, vfov_deg: float, *,
     py = np.arange(out_h, dtype=np.float64)
     ny = ((2.0 * py + 1.0) / true_h - 1.0) * tanv
     inv_n = 1.0 / np.sqrt(nx[None, :] ** 2 + ny[:, None] ** 2 + 1.0)
+    # v_pad: the planar source carries v_pad reflected pole rows above
+    # and below (see _planar_source); src_h stays the TRUE panorama
+    # height (the latitude scale), coordinates shift down by the pad,
+    # and clamps/origin caps use the padded height
+    src_h_p = src_h + 2 * v_pad
     v = (np.arcsin(np.clip(ny[:, None] * inv_n, -1.0, 1.0))
-         / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
-    vcl = np.clip(v, 0.0, src_h - 1.0)
+         / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5 + v_pad
+    vcl = np.clip(v, 0.0, src_h_p - 1.0)
     for vi, yaw in enumerate(yaws):
         cy = math.cos(math.radians(yaw))
         sy = math.sin(math.radians(yaw))
@@ -989,7 +1002,7 @@ def _yaw_host_tables(yaws: tuple, hfov_deg: float, vfov_deg: float, *,
                 vt = vcl[ty * tile_rows:(ty + 1) * tile_rows,
                          tx * TILE_COLS:(tx + 1) * TILE_COLS]
                 rm = int(np.floor(vt.min())) - V_MARGIN
-                rm = (max(0, min(rm, src_h - win_rows)) // 8) * 8
+                rm = (max(0, min(rm, src_h_p - win_rows)) // 8) * 8
                 rmcm[:, (vi * n_tx + tx) * n_ty + ty] = (rm, cm)
     return wx, rmcm
 
@@ -1023,7 +1036,8 @@ def _warp_kernel_yaw2(rmcm_ref,          # scalar-prefetch (n_tiles, 2) i32
                       sems,              # DMA semaphores (2,)
                       *, interp: str, win_rows: int, src_w: int, src_h: int,
                       geo_w: int, geo_h: int, n_tx: int, n_ty: int,
-                      tile_rows: int, win_cols: int = WIN_COLS):
+                      tile_rows: int, win_cols: int = WIN_COLS,
+                      v_pad: int = 0):
     """Yaw-ring warp v2.  All horizontal-resample state is PRECOMPUTED:
     the one-hot matrix arrives via the pipelined ``wx`` input (fetched
     once per (view, tile-col), reused across the n_ty tile rows — the
@@ -1068,7 +1082,8 @@ def _warp_kernel_yaw2(rmcm_ref,          # scalar-prefetch (n_tiles, 2) i32
     ny = ((2.0 * py + 1.0) / geo_h - 1.0) * tanv
     inv_n = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
     theta = _asin(jnp.clip(ny * inv_n, -1.0, 1.0))
-    v = (theta / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
+    v = (theta / (math.pi / 2.0) + 1.0) \
+        * ((src_h - 2 * v_pad) / 2.0) - 0.5 + v_pad
     vcl = jnp.clip(v, 0.0, src_h - 1.0)
     rm_t = rmcm_ref[0, t]
     vrel = jnp.clip(vcl - rm_t.astype(jnp.float32), 0.0, R - 1.0)
@@ -1117,11 +1132,11 @@ def _warp_kernel_yaw2(rmcm_ref,          # scalar-prefetch (n_tiles, 2) i32
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "true_w", "true_h", "src_w",
-                     "src_h", "interp", "win_rows", "n_views", "win_cols",
+                     "src_h", "v_pad", "interp", "win_rows", "n_views", "win_cols",
                      "interpret"))
 def _warp_call_yaw2(src_rows, view_f32, wx, rmcm, *, width, height, true_w,
                     true_h, src_w, src_h, interp, win_rows, n_views,
-                    win_cols=WIN_COLS, interpret=False):
+                    win_cols=WIN_COLS, interpret=False, v_pad=0):
     tile_rows = YAW_TILE_ROWS
     n_tx = width // TILE_COLS
     n_ty = height // tile_rows
@@ -1129,7 +1144,7 @@ def _warp_call_yaw2(src_rows, view_f32, wx, rmcm, *, width, height, true_w,
     kernel = functools.partial(
         _warp_kernel_yaw2, interp=interp, win_rows=win_rows, src_w=src_w,
         src_h=src_h, geo_w=true_w, geo_h=true_h, n_tx=n_tx, n_ty=n_ty,
-        tile_rows=tile_rows, win_cols=win_cols)
+        tile_rows=tile_rows, win_cols=win_cols, v_pad=v_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_views * n_tx, n_ty),
@@ -1164,7 +1179,8 @@ def _warp_kernel_wide(view_f32_ref, src_hbm, out_ref, win_raw, acc,
                       rm_prev, sems,
                       *, interp: str, win_rows: int, src_w: int,
                       src_h: int, geo_w: int, geo_h: int, n_tiles_x: int,
-                      tiles_per_view: int, projection: str = "perspective"):
+                      tiles_per_view: int, projection: str = "perspective",
+                      v_pad: int = 0):
     """Wide-window warp kernel: full-width short windows. Serves views the
     narrow kernel's budget rejects — poles in view (pitch ±90), extreme
     horizontal slopes — as long as each tile's VERTICAL span fits
@@ -1229,7 +1245,8 @@ def _warp_kernel_wide(view_f32_ref, src_hbm, out_ref, win_raw, acc,
         phi = _atan2(wx, wz)
         theta = _asin(jnp.clip(wy, -1.0, 1.0))
         u = (phi / math.pi + 1.0) * (src_w / 2.0) - 0.5
-        v = (theta / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
+        v = (theta / (math.pi / 2.0) + 1.0) \
+            * ((src_h - 2 * v_pad) / 2.0) - 0.5 + v_pad
 
         # absolute u; taps near the left edge read the right-side wrap pad
         u = jnp.mod(u, float(src_w))
@@ -1274,11 +1291,11 @@ def _warp_kernel_wide(view_f32_ref, src_hbm, out_ref, win_raw, acc,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "true_w", "true_h", "src_w",
-                     "src_h", "interp", "win_rows", "n_views",
+                     "src_h", "v_pad", "interp", "win_rows", "n_views",
                      "projection", "interpret"))
 def _warp_call_wide(src_rows, view_f32, *, width, height, true_w, true_h,
                     src_w, src_h, interp, win_rows, n_views,
-                    projection="perspective", interpret=False):
+                    projection="perspective", interpret=False, v_pad=0):
     n_tiles_x = width // TILE_COLS
     tiles_per_view = (height // TILE_ROWS) * n_tiles_x
     n_tiles = tiles_per_view * n_views
@@ -1286,7 +1303,7 @@ def _warp_call_wide(src_rows, view_f32, *, width, height, true_w, true_h,
     kernel = functools.partial(
         _warp_kernel_wide, interp=interp, win_rows=win_rows, src_w=src_w,
         src_h=src_h, geo_w=true_w, geo_h=true_h, n_tiles_x=n_tiles_x,
-        tiles_per_view=tiles_per_view, projection=projection)
+        tiles_per_view=tiles_per_view, projection=projection, v_pad=v_pad)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_views, 3, height, width),
@@ -1328,11 +1345,17 @@ def plan_view_wide(width: int, height: int, hfov_deg: float,
                    roll_deg: float, src_w: int, src_h: int,
                    true_w: Optional[int] = None,
                    true_h: Optional[int] = None,
-                   projection: str = "perspective") -> Optional[ViewBudget]:
+                   projection: str = "perspective",
+                   v_pad: int = 0) -> Optional[ViewBudget]:
     """Wide-class budget: only the per-tile VERTICAL span matters (the
-    window spans every column), so poles in view are fine."""
+    window spans every column), so poles in view are fine.
+
+    ``v_pad``: plan against a pole-padded planar source (``src_h`` stays
+    the TRUE panorama height; coords shift down by the pad and clamps
+    use the padded height — see :func:`_planar_source`)."""
     if width % TILE_COLS or height % TILE_ROWS or src_w % TILE_COLS:
         return None
+    src_h_p = src_h + 2 * v_pad
     rot = _rot_matrix(yaw_deg, pitch_deg, roll_deg)
     # stride-1 (exact) sampling: wide-class views contain poles, where v
     # swings arbitrarily fast between strided samples — a stride-4 span
@@ -1343,14 +1366,14 @@ def plan_view_wide(width: int, height: int, hfov_deg: float,
                                     src_w, src_h, stride=1, true_w=true_w,
                                     true_h=true_h, projection=projection)
     n_ty, n_tx = height // TILE_ROWS, width // TILE_COLS
-    vc = np.clip(v, 0.0, src_h - 1.0).reshape(
+    vc = np.clip(v + v_pad, 0.0, src_h_p - 1.0).reshape(
         n_ty, TILE_ROWS, n_tx, TILE_COLS)
     margin = 0.0
     v_span = (vc.max(axis=(1, 3)) - vc.min(axis=(1, 3))
               + 2 * V_MARGIN + 2 * margin)
     row_bytes = 3 * (src_w + WIN_COLS) * 4
     for r in WIDE_ROW_CLASSES:
-        if r * row_bytes > WIDE_VMEM_BUDGET or r > src_h:
+        if r * row_bytes > WIDE_VMEM_BUDGET or r > src_h_p:
             continue
         if float(v_span.max()) <= r - 9:
             return ViewBudget(win_rows=r, rot=rot.astype(np.float32))
@@ -1369,7 +1392,8 @@ WIDE2_ROW_CLASSES = (48, 96, 152, 240)
 def _wide2_plan_view(width: int, height: int, hfov_deg: float,
                      vfov_deg: float, yaw_deg: float, pitch_deg: float,
                      roll_deg: float, src_w: int, src_h: int,
-                     true_w: int, true_h: int, projection: str):
+                     true_w: int, true_h: int, projection: str,
+                     v_pad: int = 0):
     """Exact (stride-1, f64) per-tile window plan for the wide-v2 kernel.
 
     Returns ``(win_rows, max_rounds, tab)`` or ``None`` when some block's
@@ -1389,13 +1413,14 @@ def _wide2_plan_view(width: int, height: int, hfov_deg: float,
     """
     if width % TILE_COLS or height % TILE_ROWS:
         return None
+    src_h_p = src_h + 2 * v_pad
     rot = _rot_matrix(yaw_deg, pitch_deg, roll_deg)
     u, v = _np_view_coords_strided(width, height, hfov_deg, vfov_deg, rot,
                                    src_w, src_h, stride=1, true_w=true_w,
                                    true_h=true_h, projection=projection)
     w = float(src_w)
     u = np.mod(u, w)
-    vcl = np.clip(v, 0.0, src_h - 1.0)
+    vcl = np.clip(v + v_pad, 0.0, src_h_p - 1.0)
     if projection == "perspective":
         valid = np.ones_like(u, dtype=bool)
     else:
@@ -1461,7 +1486,7 @@ def _wide2_plan_view(width: int, height: int, hfov_deg: float,
     need = span_max + 2 * V_MARGIN
     win_rows = None
     for r in WIDE2_ROW_CLASSES:
-        if r > src_h:
+        if r > src_h_p:
             continue
         if need <= r - 9:
             win_rows = r
@@ -1469,7 +1494,7 @@ def _wide2_plan_view(width: int, height: int, hfov_deg: float,
     if win_rows is None:
         return None
     # rm upper clip depends on the class; applied here AND in-kernel
-    tab[:, 3:] = np.minimum(tab[:, 3:], ((src_h - win_rows) // 8) * 8)
+    tab[:, 3:] = np.minimum(tab[:, 3:], ((src_h_p - win_rows) // 8) * 8)
     max_rounds = -(-nblk_max // WIDE2_BPR)
     return win_rows, max_rounds, tab
 
@@ -1646,7 +1671,8 @@ def _warp_kernel_wide2(tab_ref,          # scalar-prefetch (2+BPR, n_tiles)
                        sems,             # DMA semaphores (3, BPR)
                        *, interp: str, win_rows: int, src_w: int,
                        src_h: int, geo_w: int, geo_h: int, n_tiles_x: int,
-                       tiles_per_view: int, projection: str):
+                       tiles_per_view: int, projection: str,
+                       v_pad: int = 0):
     """Wide-window warp v2.  Replaces v1's single full-width window with
     per-(tile, block) windows fetched WIDE2_BPR blocks per round:
     p50 tiles touch 2-4 of the ~66 source blocks, so v1 paid ~20x the
@@ -1740,7 +1766,8 @@ def _warp_kernel_wide2(tab_ref,          # scalar-prefetch (2+BPR, n_tiles)
     phi = _atan2(wx, wz)
     theta = _asin(jnp.clip(wy, -1.0, 1.0))
     u = (phi / math.pi + 1.0) * (src_w / 2.0) - 0.5
-    v = (theta / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
+    v = (theta / (math.pi / 2.0) + 1.0) \
+        * ((src_h - 2 * v_pad) / 2.0) - 0.5 + v_pad
     # per-tile anchored seam unwrap (see _wide2_plan_view): columns land
     # in anchor + [-src_w/2, src_w/2), matching the host-planned blocks
     anc = tab_ref[2, t].astype(jnp.float32)
@@ -1857,11 +1884,11 @@ def _warp_kernel_wide2(tab_ref,          # scalar-prefetch (2+BPR, n_tiles)
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "true_w", "true_h", "src_w",
-                     "src_h", "interp", "win_rows", "n_views",
+                     "src_h", "v_pad", "interp", "win_rows", "n_views",
                      "projection", "interpret"))
 def _warp_call_wide2(src_rows, view_f32, tab, *, width, height, true_w,
                      true_h, src_w, src_h, interp, win_rows, n_views,
-                     projection="perspective", interpret=False):
+                     projection="perspective", interpret=False, v_pad=0):
     n_tiles_x = width // TILE_COLS
     tiles_per_view = (height // TILE_ROWS) * n_tiles_x
     n_tiles = tiles_per_view * n_views
@@ -1869,7 +1896,7 @@ def _warp_call_wide2(src_rows, view_f32, tab, *, width, height, true_w,
     kernel = functools.partial(
         _warp_kernel_wide2, interp=interp, win_rows=win_rows, src_w=src_w,
         src_h=src_h, geo_w=true_w, geo_h=true_h, n_tiles_x=n_tiles_x,
-        tiles_per_view=tiles_per_view, projection=projection)
+        tiles_per_view=tiles_per_view, projection=projection, v_pad=v_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -1965,7 +1992,7 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
                      vfov_deg: float, yaw_deg: float, pitch_deg: float,
                      roll_deg: float, src_w: int, src_h: int,
                      true_w: int, true_h: int, projection: str,
-                     interp: str, force=None):
+                     interp: str, force=None, v_pad: int = 0):
     """Exact f64 plan for the wide-v3 kernel.
 
     Returns ``(win_rows, resid_lo, resid_hi, spread_lo, max_rounds,
@@ -2045,7 +2072,12 @@ def _wide3_plan_view(width: int, height: int, hfov_deg: float,
         ys = (2.0 * np.arange(height) + 1.0) / true_h - 1.0
         nxg, nyg = np.meshgrid(xs, ys)
         valid = np.hypot(nxg, nyg) <= 1.0
-    return _wide3_plan_from_uv(u, v, valid, src_w, src_h,
+    # v_pad: plan against the pole-padded planar copy — shift coords
+    # down by the pad and size clamps to the padded height (the padded
+    # rows hold v360's reflected pole continuation, so tap rows within
+    # [0, src_h + 2*v_pad) need no window special-casing)
+    return _wide3_plan_from_uv(u, v + v_pad, valid, src_w,
+                               src_h + 2 * v_pad,
                                is_fish=projection != "perspective",
                                wrap=True, n_taps=n_taps, koff=koff,
                                force=force)
@@ -2660,10 +2692,15 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
                 wsel = jnp.where(dxr == (k2 - kk), hwg[kk], wsel)
             whk = jnp.where(inb, wsel, 0.0)
             # the n_taps tap rows are CONSECUTIVE, so they straddle at
-            # most two adjacent 8-row tower chunks: select that pair
-            # once (radix over nvv) and run the per-tap sublane
-            # gathers against the pair — 2 gathers + 1 select per tap
-            # instead of nvv gathers + nvv-1 selects
+            # most two adjacent 8-row tower chunks — but the tower id
+            # q varies PER PIXEL (per destination row), so any scheme
+            # that selects the tower vreg before the sublane gather
+            # reads the selector at the gathered SOURCE rows, not the
+            # destination rows (tried: pair-of-towers radix select
+            # before the gather — wrong wherever q varies down a
+            # column, i.e. every sheared group).  nvv gathers + a
+            # select chain per tap, select strictly post-gather, is
+            # the floor for cross-vreg row indexing.
             rms = [yam - 8 * csk for yam in ya]
             qs = [jnp.clip(r_m, 0, resid_rows - 1) // 8 for r_m in rms]
             for c in range(_n_planes(packed)):
@@ -2777,7 +2814,7 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
                        src_w: int, src_h: int, geo_w: int, geo_h: int,
                        n_tiles_x: int, tiles_per_view: int,
                        projection: str, mb: int, cs_blocks: int,
-                       has_chunk: bool, packed: bool):
+                       has_chunk: bool, packed: bool, v_pad: int = 0):
     """Wide-window warp v3 (see the section comment above).  DMA plan
     (per-(tile, block) windows, round-0 double-buffered across tiles,
     rare overflow rounds single-buffered) is wide2's; the resample is the
@@ -2871,7 +2908,8 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
     phi = _atan2(wx, wz)
     theta = _asin(jnp.clip(wy, -1.0, 1.0))
     u = (phi / math.pi + 1.0) * (src_w / 2.0) - 0.5
-    v = (theta / (math.pi / 2.0) + 1.0) * (src_h / 2.0) - 0.5
+    v = (theta / (math.pi / 2.0) + 1.0) \
+        * ((src_h - 2 * v_pad) / 2.0) - 0.5 + v_pad
     anc = tab_ref[2, t].astype(jnp.float32)
     u = anc + jnp.mod(u - anc + 0.5 * src_w, float(src_w)) - 0.5 * src_w
     vcl = jnp.clip(v, 0.0, src_h - 1.0)
@@ -2975,7 +3013,7 @@ def _warp_kernel_wide3(tab_ref,          # scalar-prefetch (3+MB, n_tiles)
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "true_w", "true_h", "src_w",
-                     "src_h", "interp", "win_rows", "resid_lo",
+                     "src_h", "v_pad", "interp", "win_rows", "resid_lo",
                      "resid_hi", "spread_lo",
                      "n_views", "projection", "mb", "cs_blocks",
                      "has_chunk", "packed", "interpret"))
@@ -2983,7 +3021,7 @@ def _warp_call_wide3(src_rows, view_f32, tab, cs, *, width, height,
                      true_w, true_h, src_w, src_h, interp, win_rows,
                      resid_lo, resid_hi, spread_lo, n_views, mb,
                      cs_blocks=None, has_chunk=False, packed=False,
-                     projection="perspective", interpret=False):
+                     projection="perspective", interpret=False, v_pad=0):
     n_tiles_x = width // TILE_COLS
     tiles_per_view = (height // TILE_ROWS) * n_tiles_x
     n_tiles = tiles_per_view * n_views
@@ -2996,7 +3034,7 @@ def _warp_call_wide3(src_rows, view_f32, tab, cs, *, width, height,
         src_w=src_w, src_h=src_h, geo_w=true_w,
         geo_h=true_h, n_tiles_x=n_tiles_x, tiles_per_view=tiles_per_view,
         projection=projection, mb=mb, cs_blocks=cs_blocks,
-        has_chunk=has_chunk, packed=packed)
+        has_chunk=has_chunk, packed=packed, v_pad=v_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -3090,11 +3128,11 @@ def check_view_budgets(yaws, pitches, rolls, *, width: int, height: int,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "true_w", "true_h", "src_w",
-                     "src_h", "interp", "win_rows", "n_views", "win_cols",
+                     "src_h", "v_pad", "interp", "win_rows", "n_views", "win_cols",
                      "interpret"))
 def _warp_call(src_rows, view_f32, *, width, height, true_w, true_h,
                src_w, src_h, interp, win_rows, n_views,
-               win_cols=WIN_COLS, interpret=False):
+               win_cols=WIN_COLS, interpret=False, v_pad=0):
     n_tiles_x = width // TILE_COLS
     tiles_per_view = (height // TILE_ROWS) * n_tiles_x
     n_tiles = tiles_per_view * n_views
@@ -3102,7 +3140,7 @@ def _warp_call(src_rows, view_f32, *, width, height, true_w, true_h,
     kernel = functools.partial(
         _warp_kernel, interp=interp, win_rows=win_rows, src_w=src_w,
         src_h=src_h, geo_w=true_w, geo_h=true_h, n_tiles_x=n_tiles_x,
-        tiles_per_view=tiles_per_view, win_cols=win_cols)
+        tiles_per_view=tiles_per_view, win_cols=win_cols, v_pad=v_pad)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_views, 3, height, width),
@@ -3315,10 +3353,11 @@ def _planarize_rows(padded, scale=1.0, interpret=False, out_dtype=None,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "max_win_cols",
-                                             "keep_u8", "pack_rg"))
+                                             "keep_u8", "pack_rg",
+                                             "pole_pad"))
 def _planar_source(src_rows, interpret=False,
                    max_win_cols: int = TILT_WIN_COLS, keep_u8=False,
-                   pack_rg=False):
+                   pack_rg=False, pole_pad: int = 0):
     """(H, W·3) interleaved rows → seam-padded planar (3, H8, W'').
 
     W'' = W + WIN_COLS rounded up to a 384-lane multiple (wrap-padded —
@@ -3332,9 +3371,31 @@ def _planar_source(src_rows, interpret=False,
     kernel, which unpacks per tap and folds the /255 into its output.
     One Mosaic pass; see :func:`_planarize_rows` for why the layout move
     lives in a kernel.
+
+    ``pole_pad`` = P > 0 prepends/appends P rows of REFLECTED pole
+    content: pad row ``P-1-k`` above the frame holds source row ``k``
+    rolled half a panorama, and pad row ``k`` below holds source row
+    ``H-1-k`` rolled — exactly v360's ``reflecty`` + half-width column
+    shift tap semantics (see :func:`gs360x.kernels.v360_oracle.
+    reflect_taps`).  Kernels index the padded copy with ``v + P`` and
+    clamp to ``H + 2P``; a bicubic tap overshoots a pole by at most 2
+    rows, so P >= 4 makes every kernel's pole sampling bit-compatible
+    with v360's reflection without any window/column special-casing
+    (the rolled pad row IS the reflected continuation at unchanged
+    column index).  The wrap-pad below replicates each row's own
+    prefix, so rolled pad rows wrap correctly too.
     """
     h, w3 = src_rows.shape
     w = w3 // 3
+    if pole_pad:
+        p = pole_pad
+        half3 = 3 * (w // 2)
+        top = src_rows[:p][::-1]
+        bot = src_rows[h - p:][::-1]
+        top = jnp.concatenate([top[:, half3:], top[:, :half3]], axis=1)
+        bot = jnp.concatenate([bot[:, half3:], bot[:, :half3]], axis=1)
+        src_rows = jnp.concatenate([top, src_rows, bot], axis=0)
+        h = h + 2 * p
     # seam-pad in the SOURCE dtype: for uint8 video the padded copy is 4x
     # smaller than f32, and the normalization fuses into the planarize
     # kernel's layout move
@@ -3357,12 +3418,45 @@ def _planar_source(src_rows, interpret=False,
     reps = -(-pad // w)
     padded = jnp.concatenate([src_rows] * (1 + reps),
                              axis=1)[:, :target_w * 3]
-    if h % 8:
+    # pole-padded u8 frames keep the fast MXU planarize (h % 128 == 0)
+    # by filling to a 128-row multiple; fill rows sit past the padded
+    # clamp bound H + 2P and are never read
+    align = 128 if (pole_pad and src_rows.dtype == jnp.uint8) else 8
+    if h % align:
         fill = jnp.broadcast_to(padded[h - 1:h, :],
-                                ((-h) % 8, target_w * 3))
+                                ((-h) % align, target_w * 3))
         padded = jnp.concatenate([padded, fill], axis=0)
     return _planarize_rows(padded, scale=scale, interpret=interpret,
                            out_dtype=out_dtype, pack_rg=pack_rg)
+
+
+POLE_PAD = 8    # reflected pole rows per edge (bicubic overshoots <= 2)
+
+
+@functools.lru_cache(maxsize=4096)
+def _view_needs_pole_pad(out_w: int, out_h: int, hfov_deg: float,
+                         vfov_deg: float, yaw_deg: float, pitch_deg: float,
+                         roll_deg: float, src_w: int, src_h: int,
+                         true_w: int, true_h: int,
+                         projection: str) -> bool:
+    """Could this view's 4x4 tap rows reach past a pole row?
+
+    Decides whether the planar source carries reflected pole rows
+    (v360's ``reflecty`` + half-width shift semantics — see
+    :func:`_planar_source`).  Strided v extrema with a 16-row guard
+    band: the v extremum over a view sits where the latitude gradient
+    vanishes, so a stride-4 scan's error is second-order and genuine
+    tap overshoot is <= 2 rows; a false positive only costs the pad's
+    extra planarize rows.  Fisheye outputs always pad (a d>=180 image
+    circle contains a pole; smaller circles are cheap to pad anyway).
+    """
+    if projection != "perspective":
+        return True
+    rot = _rot_matrix(yaw_deg, pitch_deg, roll_deg)
+    _u, v = _np_view_coords_strided(out_w, out_h, hfov_deg, vfov_deg,
+                                    rot, src_w, src_h, stride=4,
+                                    true_w=true_w, true_h=true_h)
+    return bool(v.min() < 16.0 or v.max() > src_h - 17.0)
 
 
 def _as_source_rows(src):
@@ -3421,6 +3515,21 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
     wide_idx: List[int] = []
     wide_budgets: List[ViewBudget] = []
     fisheye_out = projection in ("fisheye_v360", "equisolid")
+    # pole-crossing view sets sample from a planar copy with reflected
+    # pole rows (exact v360 reflecty semantics); everything else keeps
+    # the unpadded copy byte-identical to round 4
+    v_pad = 0
+    if _os.environ.get("GS360X_POLE_PAD", "1") != "0":
+        if any(_view_needs_pole_pad(
+                out_w, out_h_yaw if (not fisheye_out and
+                                     float(pv) % 360.0 == 0.0 and
+                                     float(rv) % 360.0 == 0.0)
+                else out_h, float(hfov_deg), float(vfov_deg),
+                float(yv), float(pv), float(rv), src_w, src_h,
+                width, height, projection)
+               for yv, pv, rv in zip(yaws, pitches, rolls)):
+            v_pad = POLE_PAD
+    src_h_pad = src_h + 2 * v_pad
     for i, (yv, pv, rv) in enumerate(zip(yaws, pitches, rolls)):
         if not fisheye_out:
             if float(pv) % 360.0 == 0.0 and float(rv) % 360.0 == 0.0:
@@ -3451,7 +3560,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
         p2 = _wide2_plan_view(out_w, out_h, float(hfov_deg),
                               float(vfov_deg), float(yv), float(pv),
                               float(rv), src_w, src_h, width, height,
-                              projection)
+                              projection, v_pad=v_pad)
         if p2 is not None:
             wide_idx.append(i)
             wide_budgets.append(ViewBudget(
@@ -3474,7 +3583,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
         bw = plan_view_wide(out_w, out_h, hfov_deg, vfov_deg, float(yv),
                             float(pv), float(rv), src_w, src_h,
                             true_w=width, true_h=height,
-                            projection=projection)
+                            projection=projection, v_pad=v_pad)
         if bw is None:
             raise PallasFallback(
                 f"view yaw={yv} pitch={pv} exceeds window budgets")
@@ -3533,7 +3642,8 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
         if pack not in _planar_cache:
             _planar_cache[pack] = _planar_source(
                 src_rows, interpret=interpret, max_win_cols=pad_cols,
-                keep_u8=u8_windows and not pack, pack_rg=pack)
+                keep_u8=u8_windows and not pack, pack_rg=pack,
+                pole_pad=v_pad)
         return _planar_cache[pack]
 
     def crop(arr):
@@ -3547,36 +3657,39 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
         wscale = (1.0 / 255.0) if u8_windows else 1.0
         tkey = ("yawv2", yaw_yaws, float(hfov_deg), float(vfov_deg),
                 out_w, out_h_yaw, width, height, src_w, src_h,
-                win_rows_yaw, win_cols_yaw, interp, wscale)
+                win_rows_yaw, win_cols_yaw, interp, wscale, v_pad)
         wx_tab, rmcm_tab = _yaw_tables_device(
             tkey, yaw_yaws, hfov_deg, vfov_deg, out_w=out_w,
             out_h=out_h_yaw, true_w=width, true_h=height, src_w=src_w,
             src_h=src_h, win_rows=win_rows_yaw, tile_rows=YAW_TILE_ROWS,
-            interp=interp, win_cols=win_cols_yaw, weight_scale=wscale)
+            interp=interp, win_cols=win_cols_yaw, weight_scale=wscale,
+            v_pad=v_pad)
         parts.append(crop(_warp_call_yaw2(
             get_planar(), view_table(yaw_budgets), wx_tab, rmcm_tab,
             width=out_w, height=out_h_yaw, true_w=width, true_h=height,
-            src_w=src_w, src_h=src_h,
+            src_w=src_w, src_h=src_h_pad,
             interp=interp, win_rows=win_rows_yaw,
             win_cols=win_cols_yaw,
-            n_views=len(yaw_budgets), interpret=interpret)))
+            n_views=len(yaw_budgets), interpret=interpret,
+            v_pad=v_pad)))
     if narrow_budgets:
         parts.append(crop(_warp_call(
             get_planar(), view_table(narrow_budgets),
             width=out_w, height=out_h, true_w=width, true_h=height,
-            src_w=src_w, src_h=src_h,
+            src_w=src_w, src_h=src_h_pad,
             interp=interp,
             win_rows=max(b.win_rows for b in narrow_budgets),
-            n_views=len(narrow_budgets), interpret=interpret)))
+            n_views=len(narrow_budgets), interpret=interpret,
+            v_pad=v_pad)))
     if tilt_budgets:
         parts.append(crop(_warp_call(
             get_planar(), view_table(tilt_budgets),
             width=out_w, height=out_h, true_w=width, true_h=height,
-            src_w=src_w, src_h=src_h,
+            src_w=src_w, src_h=src_h_pad,
             interp=interp,
             win_rows=max(b.win_rows for b in tilt_budgets),
             n_views=len(tilt_budgets), win_cols=TILT_WIN_COLS,
-            interpret=interpret)))
+            interpret=interpret, v_pad=v_pad)))
     if wide_budgets:
         # wide v3 (de-sheared windows, SIMD resample) when every view's
         # plan fits; v2 per-tile-block windows next; v1 full-width
@@ -3588,7 +3701,8 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                 w3_plans.append(_wide3_plan_view(
                     out_w, out_h, float(hfov_deg), float(vfov_deg),
                     float(yaws[i]), float(pitches[i]), float(rolls[i]),
-                    src_w, src_h, width, height, projection, interp))
+                    src_w, src_h, width, height, projection, interp,
+                    v_pad=v_pad))
             if not all(p is not None for p in w3_plans):
                 w3_plans = None
         if w3_plans is not None:
@@ -3611,7 +3725,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                         out_w, out_h, float(hfov_deg), float(vfov_deg),
                         float(yaws[i]), float(pitches[i]),
                         float(rolls[i]), src_w, src_h, width, height,
-                        projection, interp, force=fkey)
+                        projection, interp, force=fkey, v_pad=v_pad)
             if not all(p is not None for p in w3_plans):
                 w3_plans = None
         if w3_plans is not None:
@@ -3627,14 +3741,15 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                            float(rolls[i])) for i in wide_idx),
                     float(hfov_deg), float(vfov_deg), out_w, out_h,
                     width, height, src_w, src_h, projection, interp,
-                    fkey, mb_w3, cs_blocks_w3)
+                    fkey, mb_w3, cs_blocks_w3, v_pad)
             tab3, cs3 = _wide3_tables_device(
                 tkey, [p[6] for p in w3_plans],
                 [p[7] for p in w3_plans], mb_w3, cs_blocks_w3)
             parts.append(crop(_warp_call_wide3(
                 get_planar(pack_w3), view_table(wide_budgets), tab3, cs3,
                 width=out_w, height=out_h, true_w=width, true_h=height,
-                src_w=src_w, src_h=src_h, interp=interp,
+                src_w=src_w, src_h=src_h_pad, v_pad=v_pad,
+                interp=interp,
                 win_rows=win_w3, resid_lo=rlo_w3, resid_hi=rhi_w3,
                 spread_lo=slo_w3,
                 n_views=len(wide_budgets), mb=mb_w3,
@@ -3648,19 +3763,20 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                 w2_plans.append(_wide2_plan_view(
                     out_w, out_h, float(hfov_deg), float(vfov_deg),
                     float(yaws[i]), float(pitches[i]), float(rolls[i]),
-                    src_w, src_h, width, height, projection))
+                    src_w, src_h, width, height, projection,
+                    v_pad=v_pad))
         if w2_plans is not None and all(p is not None for p in w2_plans):
             win_rows_w2 = max(p[0] for p in w2_plans)
             tkey = ("widev2",
                     tuple((float(yaws[i]), float(pitches[i]),
                            float(rolls[i])) for i in wide_idx),
                     float(hfov_deg), float(vfov_deg), out_w, out_h,
-                    width, height, src_w, src_h, projection)
+                    width, height, src_w, src_h, projection, v_pad)
             tab = _wide2_tables_device(tkey, [p[2] for p in w2_plans])
             parts.append(crop(_warp_call_wide2(
                 get_planar(), view_table(wide_budgets), tab,
                 width=out_w, height=out_h, true_w=width, true_h=height,
-                src_w=src_w, src_h=src_h, interp=interp,
+                src_w=src_w, src_h=src_h_pad, v_pad=v_pad, interp=interp,
                 win_rows=win_rows_w2, n_views=len(wide_budgets),
                 projection=projection, interpret=interpret)))
         elif w2_plans is not None:
@@ -3673,7 +3789,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
                                     float(yaws[i]), float(pitches[i]),
                                     float(rolls[i]), src_w, src_h,
                                     true_w=width, true_h=height,
-                                    projection=projection)
+                                    projection=projection, v_pad=v_pad)
                 if bw is None:
                     raise PallasFallback(
                         f"view yaw={yaws[i]} pitch={pitches[i]} exceeds "
@@ -3682,7 +3798,7 @@ def warp_equirect_to_views_pallas(src, yaws, pitches, rolls, *,
             parts.append(crop(_warp_call_wide(
                 get_planar(), view_table(wide_budgets),
                 width=out_w, height=out_h, true_w=width, true_h=height,
-                src_w=src_w, src_h=src_h,
+                src_w=src_w, src_h=src_h_pad, v_pad=v_pad,
                 interp=interp,
                 win_rows=max(v1_rows),
                 n_views=len(wide_budgets), projection=projection,

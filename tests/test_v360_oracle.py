@@ -81,12 +81,16 @@ CASES = [
     ("perspective", 110.0, 20.0, 60.0, 0.0, True),     # deep shear
     ("perspective", 104.25, 10.0, 15.0, 20.0, False),  # roll
     ("fisheye_v360", 190.0, 0.0, 0.0, 0.0, True),
+    # pole-centered (cube105 up face): wide2-wholesale route; taps cross
+    # the pole everywhere near the cap — exercises reflection hardest
+    ("perspective", 104.25, 0.0, 90.0, 0.0, True),
 ]
 
 # interpret-mode wide3 traces of the tilt/deep-shear/fisheye cases cost
 # ~20-35 s each on CPU — slow tier; the yaw/seam/roll pallas cases and
 # every XLA case stay in the default run
-_PALLAS_SLOW = {(45.0, 30.0), (20.0, 60.0), (0.0, 0.0), (10.0, 15.0)}
+_PALLAS_SLOW = {(45.0, 30.0), (20.0, 60.0), (0.0, 0.0), (10.0, 15.0),
+                (0.0, 90.0)}
 PALLAS_CASES = [
     pytest.param(*c, marks=pytest.mark.slow)
     if (c[2], c[3]) in _PALLAS_SLOW else c for c in CASES
@@ -135,16 +139,15 @@ def test_xla_bilinear_matches_oracle(pano):
 
 
 def _assert_parity(got_u8, oracle_u8, valid, pole_taps):
+    # round 5: both backends implement v360's pole reflection (the XLA
+    # samplers reflect per tap; the Pallas kernels sample a planar copy
+    # whose pad rows ARE the reflected continuation — _planar_source
+    # pole_pad), so pole-crossing cases now gate at the same
+    # interior-grade tolerance as everything else (VERDICT r4 #4).
+    del pole_taps
     diff = np.abs(got_u8.astype(np.int32) - oracle_u8.astype(np.int32))
     dv = diff[valid]
-    if not pole_taps:
-        # interior: only float-vs-Q14 rounding separates the two
-        assert int(dv.max()) <= 2, f"max diff {dv.max()} u8 LSB vs oracle"
-        assert float((dv > 1).mean()) <= 0.01, \
-            f"{(dv > 1).mean():.2%} of samples deviate >1 LSB"
-    else:
-        # taps cross a pole row: clamp-vs-reflect differs on those rows
-        # only — the bulk must still match at rounding tolerance
-        assert float((dv > 2).mean()) <= 0.02, \
-            f"{(dv > 2).mean():.2%} of samples deviate >2 LSB (pole case)"
-        assert float(np.percentile(dv, 99)) <= 2.0
+    # only float-vs-Q14 rounding separates the two
+    assert int(dv.max()) <= 2, f"max diff {dv.max()} u8 LSB vs oracle"
+    assert float((dv > 1).mean()) <= 0.01, \
+        f"{(dv > 1).mean():.2%} of samples deviate >1 LSB"

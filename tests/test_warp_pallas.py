@@ -147,8 +147,14 @@ class TestWideWindowKernel:
 
     # near-pole tolerance: d(u)/d(phi) blows up toward the poles, so the
     # ~1e-7 rad atan2/asin polynomial error (vs XLA's transcendentals)
-    # magnifies into ~1e-4 of pixel value at steep-gradient texels
-    POLE_ATOL = 1e-4
+    # magnifies into ~1e-4 of pixel value at steep-gradient texels; the
+    # pole-pad formula's `+ v_pad` f32 reassociation (vs the XLA twin's
+    # unpadded v) adds <=1 ulp of v on a handful of pole-crossing taps
+    # (measured: <=4 px/view at <=1.3e-3 — 0.33 u8 LSB).  u8 SEMANTICS
+    # are gated independently for both backends at <=2 LSB by
+    # tests/test_v360_oracle.py; this test pins backend-vs-backend f32
+    # agreement below u8 quantization, not bit equality.
+    POLE_ATOL = 2e-3
 
     # pitch 90 plans the tallest windows — its bicubic interpret run
     # alone cost ~40s, so it rides the slow tier (bilinear keeps the

@@ -27,12 +27,14 @@ automatically.
 
 Known, intentional deviations the report quantifies rather than hides:
 
-* the repo clamps vertical taps at the poles where v360 reflects them
-  onto the opposite meridian — only views whose tap rows cross a pole
-  row differ, and only on those rows;
 * the repo accumulates in float where v360 quantizes tap products to
   int16 Q14 — a ≤1 u8 LSB rounding difference on any pixel;
 * the bf16 h-pass adds its own sub-LSB error on top.
+
+Since round 5 both backends implement v360's pole reflection (the XLA
+samplers reflect per tap; the Pallas kernels sample a pole-padded
+planar copy whose pad rows ARE the reflected continuation), so the
+`pole-taps` cases gate at the same tolerance as everything else.
 
 Usage::
 
@@ -70,6 +72,8 @@ CASES = [
     ("pole_graze", "perspective", OUT, 112.6, 112.6, 0.0, 62.0, 0.0),
     ("roll_20", "perspective", OUT, 104.25, 104.25, 10.0, 15.0, 20.0),
     ("fisheye_d190", "fisheye_v360", OUT, 190.0, 190.0, 0.0, 0.0, 0.0),
+    # cube105 up face: pole-centered — reflection everywhere near the cap
+    ("pole_up", "perspective", OUT, 104.25, 104.25, 0.0, 90.0, 0.0),
 ]
 
 
@@ -198,11 +202,12 @@ def main() -> int:
         "reflection). Units: u8 LSB over valid pixels. `pct>1` = percent",
         "of channel samples deviating by more than 1 LSB.",
         "",
-        "Known semantic deltas (quantified, not hidden): the repo clamps",
-        "vertical taps at the poles where v360 reflects across them (only",
-        "`pole-taps` cases are affected), and accumulates in float where",
-        "v360 rounds tap products to int16 Q14 (a <=1 LSB difference",
-        "anywhere).",
+        "Known semantic delta (quantified, not hidden): the repo",
+        "accumulates in float where v360 rounds tap products to int16",
+        "Q14 (a <=1 LSB difference anywhere). Both backends implement",
+        "v360's pole reflection (XLA reflects per tap; Pallas samples a",
+        "pole-padded planar copy whose pad rows hold the reflected",
+        "continuation), so pole-crossing cases carry no extra delta.",
         "",
     ]
     case_names = list(next(iter(results.values())).keys())
