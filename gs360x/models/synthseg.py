@@ -190,12 +190,43 @@ def _patch_texture(rng, h, w, base, amp=0.22):
     return out
 
 
+def _spectral_texture(rng, h, w, base, amp=0.22):
+    """Random anisotropic band-pass noise: white noise filtered by a
+    Gaussian bump at a random (orientation, frequency, bandwidth) in the
+    Fourier plane.  One PROCESS spans a continuum of looks — oriented
+    banding, granules, blobs — so the net can't key on any single
+    texture statistic.  A TRAINING-ONLY fourth family; the transfer
+    eval's explicit stripe/Voronoi generators remain held out (different
+    construction, characteristically non-Gaussian phase structure)."""
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.rfftfreq(w)[None, :]
+    ang = rng.uniform(0, math.pi)
+    f0 = rng.uniform(0.02, 0.25)
+    bw = rng.uniform(0.02, 0.15)
+    aniso = rng.uniform(1.0, 6.0)
+    fu = np.cos(ang) * fx + np.sin(ang) * fy
+    fv = -np.sin(ang) * fx + np.cos(ang) * fy
+    filt = np.exp(-((np.abs(fu) - f0) ** 2 / (2 * bw * bw)
+                    + fv * fv * aniso / (2 * bw * bw)))
+    spec = np.fft.rfft2(rng.standard_normal((h, w))) * filt
+    g = np.fft.irfft2(spec, s=(h, w))
+    sd = float(g.std()) or 1.0
+    g = g / sd
+    out = np.empty((h, w, 3), np.float32)
+    for c in range(3):
+        out[..., c] = np.clip(
+            base[c] + amp * g + 0.03 * rng.standard_normal((h, w)), 0, 1)
+    return out
+
+
 def _train_texture(rng, h, w, base, amp):
     """Random training texture family (photo-style scenes)."""
     r = rng.random()
-    if r < 0.6:
+    if r < 0.45:
         return _fractal_texture(rng, h, w, base, amp=amp)
-    return _patch_texture(rng, h, w, base, amp=amp)
+    if r < 0.7:
+        return _patch_texture(rng, h, w, base, amp=amp)
+    return _spectral_texture(rng, h, w, base, amp=amp)
 
 
 def _shade(rng, img, m):
@@ -254,6 +285,10 @@ def generate_scene(rng: np.random.Generator, size: int = 128,
     for si in range(n_subj):
         name = names[rng.integers(len(names))]
         m = _CLASS_DRAWERS[name](rng, h, w)
+        if photo_style and rng.random() < 0.5:
+            # mild scale jitter (0.7-1.4x) — the transfer eval's wider
+            # 0.55-1.6x range keeps its extremes held out
+            m = _zoom_mask(m, rng.uniform(0.7, 1.4))
         if photo_style and name == "person" and rng.random() < 0.5:
             # adjacent second person — the touching-instances case
             m2 = np.roll(m, int(rng.uniform(0.12, 0.22) * w), axis=1)
@@ -361,12 +396,17 @@ def _zoom_mask(m, factor):
 
 
 def generate_transfer_scene(rng: np.random.Generator, size: int = 64,
-                            max_subjects: int = 3):
+                            max_subjects: int = 3,
+                            zoom=(0.55, 1.6), occlude_prob: float = 0.5,
+                            grad=(0.1, 0.25)):
     """One scene from the held-out transfer config (see section comment).
 
     Returns ``(image f32 (S,S,3), labels int32 (S,S))`` like
     :func:`generate_scene` but with unseen texture families, shifted
-    subject scales, forced occlusion pairs, and gradient illumination."""
+    subject scales, forced occlusion pairs, and gradient illumination.
+    The ADVERSARIAL eval config (tools/seg_eval.py) reuses this with
+    ``zoom=(0.3, 0.6)``, ``occlude_prob=1.0``, ``grad=(0.25, 0.45)`` —
+    small subjects, every pair occluding, harsh light."""
     h = w = size
     sky = _stripe_texture(rng, h, w, rng.uniform(0.45, 0.8, 3), amp=0.1)
     ground = _cell_texture(rng, h, w, rng.uniform(0.2, 0.5, 3), amp=0.18)
@@ -381,9 +421,9 @@ def generate_transfer_scene(rng: np.random.Generator, size: int = 64,
     for si in range(n_subj):
         name = names[rng.integers(len(names))]
         m = _CLASS_DRAWERS[name](rng, h, w)
-        m = _zoom_mask(m, rng.uniform(0.55, 1.6))
-        if prev_mask is not None and rng.random() < 0.5 and m.any() \
-                and prev_mask.any():
+        m = _zoom_mask(m, rng.uniform(*zoom))
+        if prev_mask is not None and rng.random() < occlude_prob \
+                and m.any() and prev_mask.any():
             # forced partial occlusion: shift this subject so it
             # overlaps 20-50% of the previous one
             ys, xs = np.nonzero(prev_mask)
@@ -409,9 +449,9 @@ def generate_transfer_scene(rng: np.random.Generator, size: int = 64,
     ang = rng.uniform(0, 2 * math.pi)
     yy, xx = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w),
                          indexing="ij")
-    grad = 1.0 + rng.uniform(0.1, 0.25) * (math.cos(ang) * xx
-                                           + math.sin(ang) * yy)
-    img = np.clip(img * grad[..., None]
+    g = 1.0 + rng.uniform(*grad) * (math.cos(ang) * xx
+                                    + math.sin(ang) * yy)
+    img = np.clip(img * g[..., None]
                   + 0.015 * rng.standard_normal(img.shape), 0, 1)
     return img.astype(np.float32), labels
 
@@ -503,6 +543,19 @@ def augment_batch(rng: np.random.Generator, im: np.ndarray) -> np.ndarray:
         im = np.clip(im + rng.uniform(0.01, 0.05)
                      * rng.standard_normal(im.shape), 0, 1
                      ).astype(np.float32)
+    if rng.random() < 0.5:
+        # linear illumination gradient at a random angle — lighting is
+        # an appearance nuisance the net must see varied in training
+        # (the vignette alone taught only the radial pattern)
+        n, h, w = im.shape[:3]
+        ang = rng.uniform(0, 2 * math.pi, n)
+        mag = rng.uniform(0.08, 0.3, n)
+        yy, xx = np.meshgrid(np.linspace(-1, 1, h),
+                             np.linspace(-1, 1, w), indexing="ij")
+        grad = 1.0 + mag[:, None, None] * (
+            np.cos(ang)[:, None, None] * xx[None]
+            + np.sin(ang)[:, None, None] * yy[None])
+        im = np.clip(im * grad[..., None], 0, 1).astype(np.float32)
     return im
 
 

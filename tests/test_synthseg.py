@@ -40,8 +40,11 @@ class TestDefaultCheckpointCapability:
         import pathlib
 
         feats = (16, 32, 64)
+        # cache shared with tools/seg_eval.py seed 0 (identical training
+        # config — corpus seed 0 / rng 1 / 2200 steps / batch 16), so
+        # the suite and the multi-seed eval table measure the SAME model
         cache = (pathlib.Path.home() / ".cache" / "gs360x"
-                 / "test_seg_fixture_v7_texdiv1500")
+                 / "seg_eval_v8_s0_2200")
         state = seg.create_train_state(jax.random.key(0), 3e-3,
                                        input_size=64, features=feats)
         if cache.exists():
@@ -53,7 +56,7 @@ class TestDefaultCheckpointCapability:
         images, labels = synthseg.generate_corpus(320, size=64, seed=0,
                                                    photo_frac=0.7)
         rng = np.random.default_rng(1)
-        for _ in range(1500):
+        for _ in range(2200):
             idx = rng.integers(0, len(images), 16)
             im, lb = images[idx].copy(), labels[idx]
             if rng.random() < 0.5:      # horizontal flip augmentation
