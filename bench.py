@@ -57,21 +57,39 @@ def device_loop_throughput(warp_fn, rows, *, reps=40, passes=5,
     on chip.
 
     XLA must not hoist the loop-invariant warp out of the loop, so the
-    input rides the loop carry and each iteration folds a byte of the
+    input rides the loop carry and each iteration folds one byte of the
     output back into pixel (0, 0) of the input (a real sequential
-    dependence; the perturbation is one pixel of an 8K noise frame).
-    The trip count is a traced argument — one compile serves both the
+    dependence; the perturbation is one pixel of an 8K noise frame —
+    and the probe is ONE output element, so it adds no measurable work;
+    XLA cannot dead-code-eliminate part of a pallas_call).  The trip
+    count is a traced argument — one compile serves both the
     ``n_probe``-trip baseline and the ``reps``-trip run, and
     ``per_call = (t_reps - t_probe) / (reps - n_probe)`` cancels the
     fixed dispatch + fetch cost exactly.
+
+    The fori_loop SERIALIZES iterations like the production executor's
+    batched device programs do; queue-drain timing (the fallback) can
+    additionally overlap independent launches, so it may read a few
+    percent higher with ~10x the spread.
     """
     import jax
     import jax.numpy as jnp
 
+    # eager warm-up call BEFORE tracing the loop: populates the warp
+    # planners' device-table caches with concrete arrays (a first call
+    # under the loop trace would cache traced constants, which escape
+    # their trace and fail the next call)
+    jax.block_until_ready(warp_fn(rows))
+
     def body(i, carry):
         r, acc = carry
         out = warp_fn(r)
-        probe = jnp.sum(out[:, :, ::97, ::101])
+        # one element PER VIEW: mixed-class view sets concatenate the
+        # outputs of several pallas_calls — a single-element probe would
+        # let XLA dead-code-eliminate every call but the first (measured:
+        # a bogus 2,029 views/s on the 12-view full360 set), while a
+        # per-view touch keeps each part live at no measurable cost
+        probe = jnp.sum(out[:, :, 0, 0].astype(jnp.float32))
         byte = ((probe * 255.0).astype(jnp.int32) % 256).astype(r.dtype)
         r = jax.lax.dynamic_update_slice(r, byte.reshape(1, 1), (0, 0))
         return (r, acc + probe)

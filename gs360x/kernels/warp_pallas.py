@@ -1018,7 +1018,11 @@ def _yaw_tables_device(key, *args, **kwargs):
     if hit is not None:
         return hit
     wx, rmcm = _yaw_host_tables(*args, **kwargs)
-    val = (jnp.asarray(wx), jnp.asarray(rmcm))
+    # concrete even under an outer trace (bench device loops jit the
+    # whole warp entry): a traced constant cached here would escape its
+    # trace and poison the next call (UnexpectedTracerError)
+    with jax.ensure_compile_time_eval():
+        val = (jnp.asarray(wx), jnp.asarray(rmcm))
     if len(_YAW_DEV_CACHE) > 8:
         _YAW_DEV_CACHE.clear()
     _YAW_DEV_CACHE[cache_key] = val
@@ -1508,7 +1512,9 @@ def _wide2_tables_device(key, tabs: List[np.ndarray]):
     if hit is not None:
         return hit
     # transposed (2+BPR, n_tiles): scalar-prefetch SMEM pads per ROW
-    val = jnp.asarray(np.concatenate(tabs, axis=0).T.copy())
+    # concrete even under an outer trace — see _yaw_tables_device
+    with jax.ensure_compile_time_eval():
+        val = jnp.asarray(np.concatenate(tabs, axis=0).T.copy())
     if len(_WIDE2_DEV_CACHE) > 16:
         _WIDE2_DEV_CACHE.clear()
     _WIDE2_DEV_CACHE[cache_key] = val
@@ -2453,8 +2459,10 @@ def _wide3_tables_device(key, tabs: List[np.ndarray],
                               + cs.shape[2:], np.int32)], axis=1)
         tab_rows.append(tab)
         cs_rows.append(cs)
-    val = (jnp.asarray(np.concatenate(tab_rows, axis=0).T.copy()),
-           jnp.asarray(np.concatenate(cs_rows, axis=0)))
+    # concrete even under an outer trace — see _yaw_tables_device
+    with jax.ensure_compile_time_eval():
+        val = (jnp.asarray(np.concatenate(tab_rows, axis=0).T.copy()),
+               jnp.asarray(np.concatenate(cs_rows, axis=0)))
     if len(_WIDE3_DEV_CACHE) > 16:
         _WIDE3_DEV_CACHE.clear()
     _WIDE3_DEV_CACHE[cache_key] = val
