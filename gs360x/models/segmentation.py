@@ -108,12 +108,24 @@ def init_params(rng: jax.Array, input_size: int = 256, features=None):
 
 
 def create_train_state(rng: jax.Array, learning_rate: float = 1e-3,
-                       input_size: int = 256, features=None):
+                       input_size: int = 256, features=None,
+                       decay_steps: int = 0):
+    """``decay_steps`` > 0 runs cosine decay (with a 5% linear warmup)
+    to 10% of the peak rate over that many steps — flat-rate AdamW left
+    some seeds visibly under-converged at the same budget."""
     import optax
     from flax.training import train_state
 
     params = init_params(rng, input_size, features)
-    tx = optax.adamw(learning_rate)
+    if decay_steps:
+        warm = max(1, decay_steps // 20)
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=learning_rate * 0.1, peak_value=learning_rate,
+            warmup_steps=warm, decay_steps=decay_steps,
+            end_value=learning_rate * 0.1)
+        tx = optax.adamw(sched)
+    else:
+        tx = optax.adamw(learning_rate)
     return train_state.TrainState.create(
         apply_fn=create_model(features).apply, params=params, tx=tx)
 
@@ -162,14 +174,52 @@ def load_checkpoint(path, template_params=None):
                          target=jax.tree.map(np.asarray, template_params))
 
 
+def save_weights(path, params) -> None:
+    """Single-file msgpack weights — the SHIPPED-checkpoint format.
+
+    The reference ships its capability as pretrained COCO weights
+    (torchvision download, gs360_SegmentationMaskTool.py:262-288); the
+    repo equivalently ships ``gs360x/models/weights/*.msgpack`` trained
+    by ``tools/seg_eval.py`` so inference never retrains.  Orbax
+    (:func:`save_checkpoint`) remains the working-directory format for
+    ``segtrain``/fine-tuning; msgpack is for the committed artifact
+    (one file, stable across platforms, ~0.5 MB at the default width).
+    """
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_weights(path, template_params=None):
+    from flax import serialization
+
+    if template_params is None:
+        template_params = init_params(jax.random.key(0))
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template_params, f.read())
+
+
 # --------------------------------------------------------------------------
 # inference
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _apply(params, image: jnp.ndarray) -> jnp.ndarray:
-    logits = create_model().apply({"params": params}, image[None])
+def features_from_params(params) -> Tuple[int, ...]:
+    """Recover the U-Net width tuple from a params pytree (the encoder
+    ConvBlocks' out-channels).  Lets one predictor serve checkpoints of
+    any width — the shipped msgpack weights are narrower than the
+    default net."""
+    blocks = sorted((k for k in params if str(k).startswith("ConvBlock_")),
+                    key=lambda k: int(str(k).split("_")[1]))
+    n_enc = (len(blocks) + 1) // 2          # encoder + bottleneck
+    return tuple(int(np.shape(params[b]["Conv_0"]["kernel"])[-1])
+                 for b in blocks[:n_enc])
+
+
+@functools.partial(jax.jit, static_argnames=("features",))
+def _apply(params, image: jnp.ndarray, features=None) -> jnp.ndarray:
+    logits = create_model(features).apply({"params": params}, image[None])
     return jax.nn.softmax(logits, axis=-1)[0]
 
 
@@ -192,13 +242,14 @@ class SegmentationPredictor:
         if params is None:
             params = init_params(jax.random.key(rng_seed))
         self.params = params
+        self._features = features_from_params(params)
 
     def class_probabilities(self, rgb01: np.ndarray) -> np.ndarray:
         h, w = rgb01.shape[:2]
         nh, nw = inference_size(h, w)
         img = jax.image.resize(jnp.asarray(rgb01, jnp.float32),
                                (nh, nw, 3), "linear")
-        probs = _apply(self.params, img)
+        probs = _apply(self.params, img, features=self._features)
         probs = jax.image.resize(probs, (h, w, NUM_CLASSES), "linear")
         return np.asarray(probs)
 

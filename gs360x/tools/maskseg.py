@@ -322,15 +322,34 @@ def _main(argv=None) -> int:
             return 1
     else:
         # the reference downloads COCO weights at first use
-        # (gs360_SegmentationMaskTool.py:262-288); offline, the default
-        # capability is the cached synthetic-corpus checkpoint
+        # (gs360_SegmentationMaskTool.py:262-288); the repo's equivalent
+        # out-of-the-box capability is the SHIPPED pretrained weights
+        # (gs360x/models/weights/, trained by tools/seg_eval.py), with
+        # the cached synthetic-corpus checkpoint as the fallback
         from gs360x.models import synthseg
+        packaged = synthseg.packaged_weights_path()
+        if packaged.exists():
+            try:
+                import jax
+                params = seg.load_weights(
+                    packaged, seg.init_params(
+                        jax.random.key(0),
+                        input_size=synthseg.PACKAGED_WEIGHTS_INPUT,
+                        features=synthseg.PACKAGED_WEIGHTS_FEATURES))
+                print(f"[INFO] loaded shipped weights: {packaged.name}")
+            except Exception as exc:
+                print(f"[WARN] shipped weights failed to load: {exc}",
+                      file=sys.stderr)
         default = synthseg.default_checkpoint_path()
-        if args.build_default and not default.exists():
+        if params is not None:
+            pass
+        elif args.build_default and not default.exists():
             print("[INFO] building default checkpoint (one-time, trains "
                   "the U-Net on a generated corpus)...")
             synthseg.build_default_checkpoint(default)
-        if default.exists():
+        if params is not None:
+            pass
+        elif default.exists():
             try:
                 params = seg.load_checkpoint(default)
                 print(f"[INFO] loaded default checkpoint: {default}")

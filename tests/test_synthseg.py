@@ -40,23 +40,37 @@ class TestDefaultCheckpointCapability:
         import pathlib
 
         feats = (16, 32, 64)
-        # cache shared with tools/seg_eval.py seed 0 (identical training
-        # config — corpus seed 0 / rng 1 / 2200 steps / batch 16), so
-        # the suite and the multi-seed eval table measure the SAME model
+
+        # the SHIPPED pretrained weights (gs360x/models/weights/,
+        # trained by tools/seg_eval.py --save-weights) are the primary
+        # fixture: gates then measure the committed artifact exactly —
+        # deterministic across machines and no suite-time training —
+        # just as the reference's capability tests would measure its
+        # downloaded COCO weights, not a fresh training run
+        packaged = synthseg.load_packaged_weights()
+        if packaged is not None:
+            state = seg.create_train_state(jax.random.key(0), 3e-3,
+                                           input_size=64, features=feats)
+            return state.replace(params=packaged)
+
+        # fallback (weights file absent): train the seg_eval seed-0
+        # config — corpus seed 0 / rng 1 / 3000 steps / batch 16 — and
+        # cache it, so the suite still self-provisions from a clean tree
         cache = (pathlib.Path.home() / ".cache" / "gs360x"
-                 / "seg_eval_v8_s0_2200")
+                 / "seg_eval_v10_s0_3000")
         state = seg.create_train_state(jax.random.key(0), 3e-3,
-                                       input_size=64, features=feats)
+                                       input_size=64, features=feats,
+                                       decay_steps=3000)
         if cache.exists():
             try:
                 params = seg.load_checkpoint(cache, state.params)
                 return state.replace(params=params)
             except Exception:
                 pass
-        images, labels = synthseg.generate_corpus(320, size=64, seed=0,
+        images, labels = synthseg.generate_corpus(448, size=64, seed=0,
                                                    photo_frac=0.7)
         rng = np.random.default_rng(1)
-        for _ in range(2200):
+        for _ in range(3000):
             idx = rng.integers(0, len(images), 16)
             im, lb = images[idx].copy(), labels[idx]
             if rng.random() < 0.5:      # horizontal flip augmentation
@@ -85,7 +99,9 @@ class TestDefaultCheckpointCapability:
         inter = float(((pred > 0) & (labels > 0)).sum())
         union = float(((pred > 0) | (labels > 0)).sum())
         iou = inter / max(union, 1.0)
-        assert iou >= 0.5, f"subject IoU {iou:.3f} below capability gate"
+        # shipped weights measure 0.825 (r5); the gate is a regression
+        # fence on the committed artifact, not a training-variance bound
+        assert iou >= 0.78, f"subject IoU {iou:.3f} below capability gate"
 
     def test_iou_on_photographic_style_fixtures(self, trained):
         """VERDICT r2 #3: capability must hold on PHOTOGRAPHIC-style
@@ -109,18 +125,19 @@ class TestDefaultCheckpointCapability:
         inter = float(((pred > 0) & (labels > 0)).sum())
         union = float(((pred > 0) | (labels > 0)).sum())
         iou = inter / max(union, 1.0)
-        # measured 0.704 with the texture-diverse fixture (the flat 0.7
-        # of the pre-diversity fixture traded a little in-family IoU for
-        # +0.16 transfer IoU — see test_iou_on_transfer_config)
-        assert iou >= 0.65, f"photo-style IoU {iou:.3f} below 0.65 gate"
+        # shipped weights measure 0.742 (r5; was 0.704 with the r4
+        # suite-trained fixture)
+        assert iou >= 0.70, f"photo-style IoU {iou:.3f} below 0.70 gate"
 
     def test_iou_on_transfer_config(self, trained):
         """VERDICT r3 weak #5: the eval must measure TRANSFER, not corpus
         memorization.  generate_transfer_scene is a held-out generator
         CONFIG — oriented-stripe and Voronoi-cell textures (families the
         training corpus never samples), shifted subject scale ranges,
-        forced occlusion stacks, gradient illumination.  Measured 0.583
-        with the texture-diverse fixture (0.41 before diversity)."""
+        forced occlusion stacks, gradient illumination.  Shipped weights
+        measure 0.720 (r5; trend 0.41 → 0.583 → 0.720 across rounds —
+        band textures, posterize/scale/illumination augmentation, cosine
+        decay, and a 6000-step budget)."""
         import jax.numpy as jnp
 
         rng = np.random.default_rng(777)
@@ -137,14 +154,15 @@ class TestDefaultCheckpointCapability:
         inter = float(((pred > 0) & (labels > 0)).sum())
         union = float(((pred > 0) | (labels > 0)).sum())
         iou = inter / max(union, 1.0)
-        assert iou >= 0.5, \
-            f"held-out-config transfer IoU {iou:.3f} below 0.5 gate"
+        assert iou >= 0.68, \
+            f"held-out-config transfer IoU {iou:.3f} below 0.68 gate"
 
     def test_instance_ap_on_multi_person_scenes(self, trained):
         """Instance-level AP@0.5 over multi-person scenes (watershed
         instance split on the net's person mask vs per-instance GT) —
-        the metric family the reference's Mask R-CNN reports.  Measured
-        0.685 with the texture-diverse fixture."""
+        the metric family the reference's Mask R-CNN reports.  Shipped
+        weights measure 0.685 on this config (0.708 on the seg_eval
+        instance config)."""
         import jax
         import jax.numpy as jnp
 
@@ -171,7 +189,7 @@ class TestDefaultCheckpointCapability:
             n_gt += len(gts)
         ap = instances.average_precision(dets_all, n_gt, iou_thresh=0.5)
         assert n_gt >= 20
-        assert ap >= 0.6, f"instance AP@0.5 {ap:.3f} below 0.6 gate"
+        assert ap >= 0.65, f"instance AP@0.5 {ap:.3f} below 0.65 gate"
 
     def test_checkpoint_round_trip_preserves_predictions(self, trained,
                                                          tmp_path):

@@ -17,16 +17,20 @@ aggregated:
                           across rounds (no gate)
 
 The per-seed table goes into STATUS.md; tests/test_synthseg.py gates
-seed 0 (the fixture seed).  Parameters mirror the test fixture exactly
-(corpus 320 scenes / photo_frac 0.7 / 2200 steps / batch 16 / lr 3e-3 /
-fg_weight 4 / flip + augment_batch), so the table IS the fixture's
-distribution over seeds.  Reference capability being approximated:
-COCO Mask R-CNN (/root/reference/cli_tools/gs360_SegmentationMaskTool.py:
-262-288); this corpus-bound eval is the offline stand-in (SURVEY §2.1).
+the SHIPPED weights (gs360x/models/weights/, written by
+``--save-weights`` from this tool's seed 0 — corpus 448 scenes /
+photo_frac 0.7 / batch 16 / lr 3e-3 + warmup-cosine / fg_weight 4 /
+flip + augment_batch; the r5 shipped artifact is the 6000-step run),
+so the table IS the shipped config's distribution over seeds.
+Reference capability being approximated: COCO Mask R-CNN
+(/root/reference/cli_tools/gs360_SegmentationMaskTool.py:262-288);
+this corpus-bound eval is the offline stand-in (SURVEY §2.1).
 
 Usage::
 
-    python tools/seg_eval.py [--seeds 3] [--steps 2200] [--json-out F]
+    python tools/seg_eval.py [--seeds 3] [--steps 6000] [--json-out F]
+    python tools/seg_eval.py --seeds 1 --steps 6000 \
+        --save-weights gs360x/models/weights/seg_unet_64_v10.msgpack
 """
 from __future__ import annotations
 
@@ -53,16 +57,17 @@ def train_seed(seed: int, steps: int):
     from gs360x.models import synthseg
 
     cache = (pathlib.Path.home() / ".cache" / "gs360x"
-             / f"seg_eval_v8_s{seed}_{steps}")
+             / f"seg_eval_v10_s{seed}_{steps}")
     state = seg.create_train_state(jax.random.key(seed), 3e-3,
-                                   input_size=SIZE, features=FEATS)
+                                   input_size=SIZE, features=FEATS,
+                                   decay_steps=steps)
     if cache.exists():
         try:
             params = seg.load_checkpoint(cache, state.params)
             return state.replace(params=params)
         except Exception:
             pass
-    images, labels = synthseg.generate_corpus(320, size=SIZE, seed=seed,
+    images, labels = synthseg.generate_corpus(448, size=SIZE, seed=seed,
                                               photo_frac=0.7)
     rng = np.random.default_rng(seed + 1)
     for step in range(steps):
@@ -153,13 +158,22 @@ def eval_seed(state, seed: int):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=3)
-    ap.add_argument("--steps", type=int, default=2200)
+    ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--save-weights", default=None,
+                    help="write seed-0 params to this path as single-file"
+                         " msgpack — the shipped-checkpoint format "
+                         "(gs360x/models/weights/)")
     args = ap.parse_args()
 
     rows = []
     for seed in range(args.seeds):
         state = train_seed(seed, args.steps)
+        if seed == 0 and args.save_weights:
+            from gs360x.models import segmentation as seg
+            seg.save_weights(args.save_weights, state.params)
+            print(f"[seg_eval] seed-0 weights -> {args.save_weights}",
+                  file=sys.stderr, flush=True)
         r = eval_seed(state, seed)
         r["seed"] = seed
         rows.append(r)
