@@ -363,7 +363,9 @@ class TestWide3Kernel:
         # pole-grazing shear: half the groups exceed the wide3 span cap
         # and run the in-kernel chunk branch (route wide3_chunk, the
         # default); GS360X_WIDE3=0 pins the wide2 kernel — BOTH must
-        # reproduce the twin's BOTTOM tap-row clamp (v ~ src_h-1)
+        # reproduce the twin's BOTTOM pole-reflection taps (v360
+        # reflecty + half-width shift, served by the padded planar
+        # source's reflected rows)
         kw = dict(width=256, height=32, hfov_deg=60.0, vfov_deg=22.0)
         p = warp_pallas._wide3_plan_view(
             256, 32, 60.0, 22.0, 20.0, -82.0, 0.0, 512, 256, 256, 32,
@@ -380,7 +382,13 @@ class TestWide3Kernel:
         out = warp_pallas.warp_equirect_to_views_pallas(
             SRC, np.array([20.0]), np.array([-82.0]), np.array([0.0]),
             interp="bicubic", interpret=True, **kw)
-        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+        # pole rows gate at ~1 u8 LSB, not the interior 2e-4: with real
+        # (reflected) content past the pole, the in-kernel angle
+        # polynomials' tap-weight error is no longer masked by
+        # clamp-flattened rows (measured max 1.9e-3 = 0.5 LSB on 7 of
+        # 24,576 px; docs/V360_PARITY.md gates the same geometry vs the
+        # independent oracle at <=2 LSB)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=4.5e-3)
 
     def test_perspective_wholesale_fallback_still_exists(self):
         # a pole-CENTERED view (cube up face) is majority-chunk — the
