@@ -167,7 +167,13 @@ def scenario_video_export(root, full):
 
 
 def scenario_dualfisheye(root, full):
-    """Default calibration -> dual-fisheye undistort + perspective export."""
+    """Default calibration -> dual-fisheye undistort + perspective export.
+
+    Runs the FULL per-pair path the reference's hot loop runs
+    (`gs360_DualFisheyeDistortionCalibration.py:1910-2064`): LUT-less
+    color path + per-lens undistort maps + SFM10 perspective views +
+    MASK CO-WARP (``--mask-input-dir``) + JPEG/PNG encode via the
+    writer pool."""
     from gs360x.io import image as im
     from gs360x.tools import dualfisheye
 
@@ -175,25 +181,41 @@ def scenario_dualfisheye(root, full):
     n_pairs = 3 if full else 1
     d = root / "lenses"
     d.mkdir()
+    md = root / "lens_masks"
+    md.mkdir()
+    xs = (2.0 * np.arange(size) + 1.0) / size - 1.0
+    nx, ny = np.meshgrid(xs, xs)
+    r = np.sqrt(nx * nx + ny * ny)
+    # a plausible subject mask: blob of 'person' pixels near centre
+    mask = ((np.abs(nx) < 0.25) & (ny > -0.5) & (ny < 0.6)
+            & (r < 0.9)).astype(np.uint8) * 255
     for i in range(n_pairs):
-        xs = (2.0 * np.arange(size) + 1.0) / size - 1.0
-        nx, ny = np.meshgrid(xs, xs)
-        r = np.sqrt(nx * nx + ny * ny)
         img = np.stack([0.5 + 0.5 * np.cos(6 * r + i),
                         np.clip(1.0 - r, 0, 1),
                         0.5 + 0.5 * np.sin(4 * nx)], -1)
-        im.write_image(d / f"shot_{i:04d}_X.jpg",
-                       (img * 255).astype(np.uint8))
-        im.write_image(d / f"shot_{i:04d}_Y.jpg",
-                       (img[::-1] * 255).astype(np.uint8))
+        for suffix, arr in (("X", img), ("Y", img[::-1])):
+            name = f"shot_{i:04d}_{suffix}"
+            im.write_image(d / f"{name}.jpg",
+                           (arr * 255).astype(np.uint8))
+            im.write_image(md / f"{name}.jpg",
+                           np.repeat(mask[..., None], 3, axis=-1))
     out = root / "df_out"
     t0 = time.time()
-    rc = dualfisheye.main(["-i", str(d), "-o", str(out)])
+    rc = dualfisheye.main(["-i", str(d), "-o", str(out),
+                           "--mask-input-dir", str(md)])
     wall = time.time() - t0
     n_out = len(list(out.rglob("*.jpg")))
-    assert rc == 0 and n_out > 0, (rc, n_out)
+    n_masks = len(list(out.rglob("*.png")))
+    assert rc == 0 and n_out > 0 and n_masks > 0, (rc, n_out, n_masks)
+    # reference anchor: the hot loop is per-view cv2.remap bicubic at
+    # 1750 px (~3 views/s/core) + per-view mask remap; n_out views +
+    # n_masks mask warps at that rate is the CPU-core-equivalent wall
+    ref_est_s = (n_out + n_masks) / 3.0
     return {"scenario": "dualfisheye", "wall_s": round(wall, 2),
-            "images": n_out, "images_per_s": round(n_out / wall, 2)}
+            "images": n_out, "masks": n_masks,
+            "images_per_s": round(n_out / wall, 2),
+            "ref_cpu_core_est_s": round(ref_est_s, 1),
+            "vs_ref_core_est": round(ref_est_s / wall, 2)}
 
 
 def scenario_full_chain(root, full):

@@ -121,6 +121,45 @@ def main():
         log(f"[bench_remap] sfm10 per-view remap 3840^2 -> {view_px}px: "
             f"{per * 1000:.1f} ms/view -> {views_s:.1f} views/s")
 
+    # full per-pair chain WITH mask co-warp (VERDICT r4 #8): the
+    # reference's hot loop also remaps a subject mask per view
+    # (gs360_DualFisheyeDistortionCalibration.py:1996-2055, nearest
+    # interp).  Time the lens chain again with the 5 mask warps in the
+    # same device queue — masks ride the XLA remap (2D nearest).
+    from gs360x.kernels import warp as warplib
+
+    mask_np = (rng.random((size, size)) > 0.5).astype(np.float32)
+    mask_dev = jnp.asarray(mask_np[..., None])
+    mask_dev.block_until_ready()
+    dev_maps = []
+    for mx, my, validf in maps:
+        dev_maps.append((jnp.asarray(mx), jnp.asarray(my),
+                         jnp.asarray(validf)))
+    for dm in dev_maps:
+        for a in dm:
+            a.block_until_ready()
+
+    def run_chain():
+        outs = [batch(rows)]
+        for dmx, dmy, dvalid in dev_maps:
+            outs.append(warplib.remap(mask_dev, dmx, dmy,
+                                      interp="nearest", wrap_x=False,
+                                      valid=dvalid, fill=0.0))
+        return outs
+
+    def sync_chain(outs):
+        return float(outs[0][..., 0].sum()) + float(outs[-1].sum())
+
+    try:
+        per_chain = timed_throughput(run_chain, sync_chain)
+        chain_views_s = len(maps) / per_chain
+        log(f"[bench_remap] pair chain (+{len(maps)} mask co-warps): "
+            f"{per_chain * 1000:.1f} ms -> {chain_views_s:.1f} views/s")
+    except Exception as exc:
+        log(f"[bench_remap] mask chain failed "
+            f"({type(exc).__name__}: {str(exc)[:200]})")
+        chain_views_s = 0.0
+
     # reference CPU anchor: cv2.remap bicubic at 1750px runs ~2-4
     # views/s/core (reference hot loop); use 3.0 as the comparison point
     print(json.dumps({
@@ -128,6 +167,7 @@ def main():
         "value": round(views_s, 2),
         "unit": "views/s",
         "vs_reference_cpu_core": round(views_s / 3.0, 2),
+        "pair_chain_with_masks_views_s": round(chain_views_s, 2),
     }))
     return 0
 

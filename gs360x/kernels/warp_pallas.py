@@ -2627,13 +2627,15 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
     #   GS360X_WIDE3_STOP=vsel   + residual-window build (consumed cheaply)
     #   GS360X_WIDE3_STOP=trip1  + sweep body, but ONE trip instead of
     #                            dx_hi-dx_lo+n_taps (isolates per-trip cost)
+    #   GS360X_WIDE3_STOP=nochunk  full LO/HI, chunk branch skipped
+    #                            (isolates the fisheye chunk-branch cost)
     stop = _os.environ.get("GS360X_WIDE3_STOP", "full").strip() or "full"
-    if stop not in ("full", "dma", "read", "vsel", "trip1"):
+    if stop not in ("full", "dma", "read", "vsel", "trip1", "nochunk"):
         # a typo'd/leftover value would silently produce truncated
         # (zeroed) wide3 output — fail loudly at trace time instead
         raise ValueError(
             f"GS360X_WIDE3_STOP={stop!r}: expected one of "
-            "'full', 'dma', 'read', 'vsel', 'trip1'")
+            "'full', 'dma', 'read', 'vsel', 'trip1', 'nochunk'")
     if stop == "dma":
         return
     rows = slice(g * 8, (g + 1) * 8)
@@ -2793,7 +2795,7 @@ def _resample_group_wide3(g, win_raw, slot, bi_lane0, csb, bcol_local,
                                     win_rows=win_rows,
                                     resid_rows=resid_hi, nch=nch))
 
-    if has_chunk:
+    if has_chunk and stop != "nochunk":
         @pl.when(flag_g == WIDE3_FLAG_CHUNK)
         def _():
             x0g64 = jnp.concatenate(
